@@ -1,0 +1,63 @@
+"""Bond potentials (user API).
+
+Mirrors ``hoomd.azplugins.bond`` (/root/reference/src/bond.py): DoubleWell
+and Quartic. Parameters are per bond type name::
+
+    dw = DoubleWell()
+    dw.params["A-A"] = dict(r_0=0.5, r_1=1.0, U_1=5.0, U_tilt=0.0)
+"""
+
+from __future__ import annotations
+
+from ..core.typeparam import TypeParameter
+from ..ops.bond_force import bond_force
+from ..ops.evaluators import BOND_POTENTIALS
+from .force import Force, SimContext, tables_to_device
+
+__all__ = ["Bond", "DoubleWell", "Quartic"]
+
+
+class Bond(Force):
+    _evaluator_name = ""
+
+    def __init__(self):
+        super().__init__()
+        self._def = BOND_POTENTIALS[self._evaluator_name]
+        self.params = TypeParameter("params", 1, self._def.spec)
+
+    def _build_tables(self, sim):
+        types = sim._bond_types
+        host = self.params.to_dict_tables(types)
+        self._tables = tables_to_device(self._def.precompute(host))
+
+    def _compute(self, state, nbr_idx, timestep, ctx: SimContext):
+        return bond_force(
+            self._def.energy_force,
+            state.position,
+            state.box,
+            state.bond_group,
+            state.bond_typeid,
+            self._tables,
+            state.N,
+        )
+
+
+class DoubleWell(Bond):
+    """Double-well bond with tunable barrier and tilt.
+
+    Parity: /root/reference/src/bond.py:13-66,
+    /root/reference/src/BondEvaluatorDoubleWell.h:96-113.
+    """
+
+    _evaluator_name = "DoubleWell"
+
+
+class Quartic(Bond):
+    """Scissile quartic bond + WCA core; plateaus at U_0 beyond r_0.
+
+    Parity: /root/reference/src/bond.py:68-157,
+    /root/reference/src/BondEvaluatorQuartic.h:129-200. ``delta``
+    defaults to 0 as in the reference (src/bond.py:153).
+    """
+
+    _evaluator_name = "Quartic"

@@ -1,0 +1,97 @@
+"""Force base classes and attach machinery.
+
+Mirrors the reference's lazy ``_attach_hook`` pattern
+(/root/reference/src/pair.py:413-426): users configure params by type name;
+at attach the params are validated, precomputed, and packed into dense
+device tables; the jitted step calls the pure ``_compute``.
+"""
+
+from __future__ import annotations
+
+import jax.numpy as jnp
+import numpy as np
+
+from ..core.typeparam import TypeParameter
+from ..ops.pair_force import ForceResult
+
+__all__ = ["Force", "SimContext"]
+
+
+class SimContext:
+    """Static per-run context handed to force computes."""
+
+    def __init__(self, dt: float, seed: int):
+        self.dt = float(dt)
+        self.seed = int(seed)
+
+
+class Force:
+    """Base class for all force computes."""
+
+    _needs_nlist = False
+    _produces_torque = False
+
+    def __init__(self):
+        self._attached = False
+        self._sim = None
+
+    # -- attach lifecycle ----------------------------------------------------
+    def _attach(self, sim):
+        self._sim = sim
+        self._build_tables(sim)
+        self._attached = True
+
+    def _detach(self):
+        self._attached = False
+        self._sim = None
+
+    def _build_tables(self, sim):  # pragma: no cover - interface
+        raise NotImplementedError
+
+    def _compute(self, state, nbr_idx, timestep, ctx: SimContext) -> ForceResult:
+        raise NotImplementedError  # pragma: no cover
+
+    def _max_r_cut(self) -> float:
+        return 0.0
+
+    # -- observables (lazy, computed on access like the reference's pull path)
+    def _result(self) -> ForceResult:
+        if not self._attached:
+            raise RuntimeError(
+                f"{type(self).__name__} is not attached to a simulation; run sim.run(0) first"
+            )
+        return self._sim._compute_single_force(self)
+
+    @property
+    def forces(self) -> np.ndarray:
+        return np.asarray(self._result().force)
+
+    @property
+    def energies(self) -> np.ndarray:
+        return np.asarray(self._result().energy)
+
+    @property
+    def energy(self) -> float:
+        return float(jnp.sum(self._result().energy))
+
+    @property
+    def virials(self) -> np.ndarray:
+        return np.asarray(self._result().virial)
+
+    @property
+    def torques(self) -> np.ndarray:
+        r = self._result()
+        if r.torque is None:
+            return np.zeros((r.force.shape[0], 3), dtype=np.float32)
+        return np.asarray(r.torque)
+
+
+def tables_to_device(host_tables: dict) -> dict:
+    return {k: jnp.asarray(v, dtype=jnp.float32) for k, v in host_tables.items()}
+
+
+def build_pair_tables(def_, params: TypeParameter, types: list[str]) -> dict:
+    """Validate + precompute per-type-pair parameter tables -> device f32."""
+    host = params.to_dict_tables(types)
+    pre = def_.precompute(host)
+    return tables_to_device(pre)

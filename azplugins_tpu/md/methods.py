@@ -1,0 +1,190 @@
+"""Integration methods: NVE, Langevin(+flow), Brownian(+flow).
+
+TPU rebuild of the integrator layer. ConstantVolume is standard velocity
+Verlet; LangevinFlow/BrownianFlow re-derive the reference's legacy flow
+integrators (/root/reference/src/TwoStepLangevinFlow.h:100-249,
+/root/reference/src/TwoStepBrownianFlow.h:103-182): drag is taken relative
+to the flow velocity u(r), and the random force is uniform with
+coefficient sqrt(6 gamma kT / dt) (matching second moments). Plain
+Langevin/Brownian are the flow variants with u = 0.
+
+Protocol (driven by md.integrate.Integrator inside one jitted step):
+    step1(state, dt, timestep, seed): drift half of the update
+    step2(state, dt, timestep, seed): kick half; state.net_force holds
+        forces at the *new* positions when step2 runs.
+
+Each method integrates only the particles selected by its filter (a static
+mask), so several methods can coexist like HOOMD's method list.
+"""
+
+from __future__ import annotations
+
+import jax.numpy as jnp
+import numpy as np
+
+from ..core import rng as _rng
+from ..core.typeparam import TypeParameter
+from ..core.variant import as_variant
+from ..flow import FlowField
+from .filter import All, ParticleFilter
+
+__all__ = ["Method", "ConstantVolume", "Langevin", "LangevinFlow", "Brownian", "BrownianFlow"]
+
+
+class Method:
+    def __init__(self, filter: ParticleFilter | None = None):
+        self.filter = filter if filter is not None else All()
+        self._mask = None  # [N] bool, resolved at attach
+
+    def _attach(self, sim):
+        typeids = np.asarray(sim._state.typeid)
+        self._mask = jnp.asarray(self.filter.mask(typeids, sim._particle_types))
+
+    def _where(self, new, old):
+        m = self._mask
+        if new.ndim > m.ndim:
+            m = m[(...,) + (None,) * (new.ndim - m.ndim)]
+        return jnp.where(m, new, old)
+
+    # default: velocity Verlet pieces -----------------------------------
+    # step1 drifts with the *stored* acceleration (which for Langevin
+    # includes last step's thermostat forces, matching the reference's
+    # h_accel usage at TwoStepLangevinFlow.h:142-149).
+    def step1(self, state, dt, timestep, seed):
+        vel_half = state.velocity + (0.5 * dt) * state.acceleration
+        pos = state.position + dt * vel_half
+        pos, image = state.box.wrap(pos, state.image)
+        return state.replace(
+            position=self._where(pos, state.position),
+            image=self._where(image, state.image),
+            velocity=self._where(vel_half, state.velocity),
+        )
+
+    def step2(self, state, dt, timestep, seed):
+        accel = state.net_force / state.mass[:, None]
+        vel = state.velocity + (0.5 * dt) * accel
+        return state.replace(
+            velocity=self._where(vel, state.velocity),
+            acceleration=self._where(accel, state.acceleration),
+        )
+
+
+class ConstantVolume(Method):
+    """NVE velocity Verlet (dummy-integrator role in the parity tests)."""
+
+
+class _GammaMixin:
+    def _init_gamma(self, default_gamma):
+        self.gamma = TypeParameter("gamma", 1, None, float, default=float(default_gamma))
+
+    def _attach_gamma(self, sim):
+        table = jnp.asarray(self.gamma.to_scalar_table(sim._particle_types), dtype=jnp.float32)
+        self._gamma_particle = jnp.take(table, sim._state.typeid)
+
+
+class LangevinFlow(Method, _GammaMixin):
+    """Velocity-Verlet Langevin with drag relative to a flow field.
+
+    step2 adds F_BD = F_random - gamma (v - u(r)) to the net force before
+    the second half kick (reference: TwoStepLangevinFlow.h:159-249).
+    """
+
+    _rng_stream = _rng.Stream.LANGEVIN_FLOW
+
+    def __init__(self, kT, flow_field: FlowField | None = None, filter=None,
+                 default_gamma: float = 1.0, noiseless: bool = False):
+        super().__init__(filter)
+        self.kT = as_variant(kT)
+        self.flow_field = flow_field
+        self.noiseless = bool(noiseless)
+        self._init_gamma(default_gamma)
+
+    def _attach(self, sim):
+        super()._attach(sim)
+        self._attach_gamma(sim)
+
+    def _flow_velocity(self, position):
+        if self.flow_field is None:
+            return jnp.zeros_like(position)
+        return self.flow_field(position)
+
+    def step2(self, state, dt, timestep, seed):
+        gamma = self._gamma_particle[:, None]
+        kT = self.kT(timestep)
+        coeff = jnp.sqrt(6.0 * self._gamma_particle * kT / dt)[:, None]
+        if self.noiseless:
+            coeff = jnp.zeros_like(coeff)
+        u = _rng.particle_uniform3(self._rng_stream, seed, timestep, state.tag)
+        random_force = coeff * u
+        flow_vel = self._flow_velocity(state.position)
+        bd_force = random_force - gamma * (state.velocity - flow_vel)
+        accel = (state.net_force + bd_force) / state.mass[:, None]
+        vel = state.velocity + (0.5 * dt) * accel
+        return state.replace(
+            velocity=self._where(vel, state.velocity),
+            acceleration=self._where(accel, state.acceleration),
+        )
+
+
+class Langevin(LangevinFlow):
+    """Standard Langevin thermostat (flow field = 0)."""
+
+    _rng_stream = _rng.Stream.LANGEVIN
+
+    def __init__(self, kT, filter=None, default_gamma: float = 1.0, noiseless: bool = False):
+        super().__init__(kT, flow_field=None, filter=filter,
+                         default_gamma=default_gamma, noiseless=noiseless)
+
+
+class BrownianFlow(Method, _GammaMixin):
+    """Overdamped (Brownian) dynamics advected by a flow field.
+
+    Single-step update r += (u(r) + (F + F_rand)/gamma) dt
+    (reference: TwoStepBrownianFlow.h:103-182). step2 is empty.
+    """
+
+    _rng_stream = _rng.Stream.BROWNIAN_FLOW
+
+    def __init__(self, kT, flow_field: FlowField | None = None, filter=None,
+                 default_gamma: float = 1.0, noiseless: bool = False):
+        super().__init__(filter)
+        self.kT = as_variant(kT)
+        self.flow_field = flow_field
+        self.noiseless = bool(noiseless)
+        self._init_gamma(default_gamma)
+
+    def _attach(self, sim):
+        super()._attach(sim)
+        self._attach_gamma(sim)
+
+    def step1(self, state, dt, timestep, seed):
+        gamma = self._gamma_particle[:, None]
+        kT = self.kT(timestep)
+        coeff = jnp.sqrt(6.0 * self._gamma_particle * kT / dt)[:, None]
+        if self.noiseless:
+            coeff = jnp.zeros_like(coeff)
+        u = _rng.particle_uniform3(self._rng_stream, seed, timestep, state.tag)
+        random_force = coeff * u
+        if self.flow_field is None:
+            flow_vel = jnp.zeros_like(state.position)
+        else:
+            flow_vel = self.flow_field(state.position)
+        pos = state.position + (flow_vel + (state.net_force + random_force) / gamma) * dt
+        pos, image = state.box.wrap(pos, state.image)
+        return state.replace(
+            position=self._where(pos, state.position),
+            image=self._where(image, state.image),
+        )
+
+    def step2(self, state, dt, timestep, seed):
+        return state
+
+
+class Brownian(BrownianFlow):
+    """Standard Brownian dynamics (flow field = 0)."""
+
+    _rng_stream = _rng.Stream.BROWNIAN
+
+    def __init__(self, kT, filter=None, default_gamma: float = 1.0, noiseless: bool = False):
+        super().__init__(kT, flow_field=None, filter=filter,
+                         default_gamma=default_gamma, noiseless=noiseless)

@@ -1,0 +1,81 @@
+"""Test configuration: force CPU with 8 virtual devices.
+
+Mirrors the reference CI pattern of running the same suite under MPI
+(SURVEY §4.6) — here the multi-"rank" axis is a host-platform device mesh.
+Must run before jax is imported anywhere.
+"""
+
+import os
+
+os.environ.setdefault("JAX_PLATFORMS", "cpu")
+flags = os.environ.get("XLA_FLAGS", "")
+if "xla_force_host_platform_device_count" not in flags:
+    os.environ["XLA_FLAGS"] = (
+        flags + " --xla_force_host_platform_device_count=8"
+    ).strip()
+
+import numpy as np  # noqa: E402
+import pytest  # noqa: E402
+
+
+@pytest.fixture
+def two_particle_snapshot_factory():
+    """Two particles at distance d along x, like hoomd's fixture."""
+
+    def make(particle_types=None, d=1.0, L=20.0):
+        import azplugins_tpu as az
+
+        snap = az.Snapshot(N=2)
+        snap.configuration.box = [L, L, L, 0, 0, 0]
+        snap.particles.types = list(particle_types or ["A"])
+        snap.particles.position[:] = [[-d / 2, 0, 0], [d / 2, 0, 0]]
+        return snap
+
+    return make
+
+
+@pytest.fixture
+def bonded_two_particle_snapshot_factory(two_particle_snapshot_factory):
+    """Two bonded particles (reference conftest, src/conftest.py:10-24)."""
+
+    def make(bond_types=None, d=1.0, L=20.0):
+        snap = two_particle_snapshot_factory(d=d, L=L)
+        snap.bonds.resize(1)
+        snap.bonds.types = list(bond_types or ["A-A"])
+        snap.bonds.typeid[0] = 0
+        snap.bonds.group[0] = [0, 1]
+        return snap
+
+    return make
+
+
+@pytest.fixture
+def lattice_snapshot_factory():
+    """n^3 simple-cubic lattice with spacing a (like hoomd's fixture)."""
+
+    def make(particle_types=None, n=5, a=1.5):
+        import azplugins_tpu as az
+
+        N = n**3
+        snap = az.Snapshot(N=N)
+        L = n * a
+        snap.configuration.box = [L, L, L, 0, 0, 0]
+        snap.particles.types = list(particle_types or ["A"])
+        x = (np.arange(n) + 0.5) * a - L / 2
+        grid = np.stack(np.meshgrid(x, x, x, indexing="ij"), axis=-1).reshape(-1, 3)
+        snap.particles.position[:] = grid
+        return snap
+
+    return make
+
+
+@pytest.fixture
+def simulation_factory():
+    def make(snapshot, seed=42):
+        import azplugins_tpu as az
+
+        sim = az.Simulation(seed=seed)
+        sim.create_state_from_snapshot(snapshot)
+        return sim
+
+    return make

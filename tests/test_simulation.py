@@ -1,0 +1,119 @@
+"""End-to-end integration tests: conservation, thermostats, determinism."""
+
+import numpy as np
+import pytest
+
+import azplugins_tpu as az
+
+
+def _lj_fluid_sim(lattice_snapshot_factory, n=6, a=1.3, seed=7, kT=None, dt=0.002):
+    snap = lattice_snapshot_factory(n=n, a=a)
+    sim = az.Simulation(seed=seed)
+    sim.create_state_from_snapshot(snap)
+    cell = az.md.nlist.Cell(buffer=0.4)
+    pot = az.pair.PerturbedLennardJones(nlist=cell, default_r_cut=2.5, mode="shift")
+    pot.params[("A", "A")] = dict(epsilon=1.0, sigma=1.0, attraction_scale_factor=1.0)
+    if kT is None:
+        method = az.md.methods.ConstantVolume()
+    else:
+        method = az.md.methods.Langevin(kT=kT, default_gamma=1.0)
+    integ = az.md.Integrator(dt=dt, methods=[method], forces=[pot])
+    sim.operations.integrator = integ
+    thermo = az.compute.ThermodynamicQuantities()
+    sim.operations.computes.append(thermo)
+    return sim, pot, thermo
+
+
+def test_nve_energy_conservation(lattice_snapshot_factory):
+    sim, pot, thermo = _lj_fluid_sim(lattice_snapshot_factory)
+    sim.state.thermalize_particle_momenta(kT=0.7)
+    sim.run(0)
+    e0 = thermo.kinetic_energy + pot.energy
+    sim.run(200)
+    e1 = thermo.kinetic_energy + pot.energy
+    n = sim.state.N_particles
+    # drift per particle must be small over 200 steps
+    assert abs(e1 - e0) / n < 5e-3
+
+
+def test_langevin_thermostat_temperature(lattice_snapshot_factory):
+    kT = 1.2
+    sim, pot, thermo = _lj_fluid_sim(lattice_snapshot_factory, kT=kT, dt=0.005)
+    sim.state.thermalize_particle_momenta(kT=kT)
+    sim.run(400)
+    samples = []
+    for _ in range(20):
+        sim.run(20)
+        samples.append(thermo.kinetic_temperature)
+    measured = np.mean(samples)
+    assert measured == pytest.approx(kT, rel=0.1)
+
+
+def test_determinism_same_seed(lattice_snapshot_factory):
+    sim1, _, _ = _lj_fluid_sim(lattice_snapshot_factory, kT=1.0, seed=11)
+    sim2, _, _ = _lj_fluid_sim(lattice_snapshot_factory, kT=1.0, seed=11)
+    for s in (sim1, sim2):
+        s.state.thermalize_particle_momenta(kT=1.0)
+        s.run(50)
+    p1 = sim1.state.get_snapshot().particles.position
+    p2 = sim2.state.get_snapshot().particles.position
+    np.testing.assert_array_equal(p1, p2)
+
+
+def test_different_seed_differs(lattice_snapshot_factory):
+    sim1, _, _ = _lj_fluid_sim(lattice_snapshot_factory, kT=1.0, seed=11)
+    sim2, _, _ = _lj_fluid_sim(lattice_snapshot_factory, kT=1.0, seed=12)
+    for s in (sim1, sim2):
+        s.run(20)
+    p1 = sim1.state.get_snapshot().particles.position
+    p2 = sim2.state.get_snapshot().particles.position
+    assert not np.allclose(p1, p2)
+
+
+def test_momentum_conserved_nve(lattice_snapshot_factory):
+    sim, _, _ = _lj_fluid_sim(lattice_snapshot_factory)
+    sim.state.thermalize_particle_momenta(kT=0.7)
+    snap = sim.state.get_snapshot()
+    p0 = (snap.particles.velocity * snap.particles.mass[:, None]).sum(axis=0)
+    sim.run(100)
+    snap = sim.state.get_snapshot()
+    p1 = (snap.particles.velocity * snap.particles.mass[:, None]).sum(axis=0)
+    np.testing.assert_allclose(p1, p0, atol=5e-3)
+
+
+def test_brownian_runs_and_moves(lattice_snapshot_factory):
+    snap = lattice_snapshot_factory(n=4, a=1.5)
+    sim = az.Simulation(seed=5)
+    sim.create_state_from_snapshot(snap)
+    cell = az.md.nlist.Cell(buffer=0.4)
+    pot = az.pair.Hertz(nlist=cell, default_r_cut=1.2)
+    pot.params[("A", "A")] = dict(epsilon=1.0)
+    method = az.md.methods.Brownian(kT=1.0, default_gamma=2.0)
+    sim.operations.integrator = az.md.Integrator(dt=0.0005, methods=[method], forces=[pot])
+    p0 = sim.state.get_snapshot().particles.position
+    sim.run(50)
+    p1 = sim.state.get_snapshot().particles.position
+    assert not np.allclose(p0, p1)
+    # noiseless brownian with zero forces must not move at all
+    sim2 = az.Simulation(seed=5)
+    sim2.create_state_from_snapshot(lattice_snapshot_factory(n=4, a=1.5))
+    m2 = az.md.methods.Brownian(kT=1.0, default_gamma=2.0, noiseless=True)
+    sim2.operations.integrator = az.md.Integrator(dt=0.0005, methods=[m2], forces=[])
+    sim2.run(10)
+    p2 = sim2.state.get_snapshot().particles.position
+    np.testing.assert_allclose(p2, lattice_snapshot_factory(n=4, a=1.5).particles.position, atol=1e-6)
+
+
+def test_run_zero_then_observables(two_particle_snapshot_factory, simulation_factory):
+    sim = simulation_factory(two_particle_snapshot_factory(d=1.0, L=20))
+    pot = az.pair.Hertz(nlist=az.md.nlist.Cell(buffer=0.4), default_r_cut=2.0)
+    pot.params[("A", "A")] = dict(epsilon=1.0)
+    sim.operations.integrator = az.md.Integrator(
+        dt=0.001, methods=[az.md.methods.ConstantVolume()], forces=[pot]
+    )
+    with pytest.raises(RuntimeError):
+        _ = pot.energies  # before attach
+    sim.run(0)
+    assert pot.energies.shape == (2,)
+    assert pot.forces.shape == (2, 3)
+    assert pot.virials.shape == (2, 6)
