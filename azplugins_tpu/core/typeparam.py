@@ -74,7 +74,16 @@ class TypeParameter(MutableMapping):
 
     # -- mapping protocol ---------------------------------------------------
     def __getitem__(self, key):
-        return self._data[_normalize_key(key, self.len_keys)]
+        key = _normalize_key(key, self.len_keys)
+        if key not in self._data and self._spec is not None:
+            # hoomd-style auto-create: default-filled entry (required keys
+            # become None placeholders validated at attach/table-build time);
+            # the returned dict is live, so entry.update(...) writes back.
+            entry = {}
+            for pkey, (_ptype, default) in self._spec.items():
+                entry[pkey] = None if default is REQUIRED else default
+            self._data[key] = entry
+        return self._data[key]
 
     def __setitem__(self, key, value):
         key = _normalize_key(key, self.len_keys)
@@ -123,7 +132,15 @@ class TypeParameter(MutableMapping):
     # -- compilation to dense tables -----------------------------------------
     def _lookup(self, key):
         if key in self._data:
-            return self._data[key]
+            entry = self._data[key]
+            if isinstance(entry, dict):
+                missing = [k for k, v in entry.items() if v is None]
+                if missing:
+                    raise KeyError(
+                        f"{self.name}[{key}]: required keys {missing} were never set"
+                    )
+                entry = self._validate(key, entry)
+            return entry
         if self._default is not None:
             return self._default
         raise KeyError(

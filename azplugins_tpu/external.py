@@ -54,7 +54,7 @@ class HarmonicBarrier(Force):
     def _build_tables(self, sim):
         types = sim._particle_types
         host = self.params.to_dict_tables(types)
-        self._tables = tables_to_device(host)
+        self._tbl = {"params": tables_to_device(host)}
         # validate the barrier stays inside the box over its range
         lo, hi = self.location.range()
         for extreme in (lo, hi):
@@ -70,11 +70,11 @@ class HarmonicBarrier(Force):
             )
             self._warned_virial = True
 
-    def _compute(self, state, nbr_idx, timestep, ctx: SimContext) -> ForceResult:
+    def _compute(self, state, nbr_idx, timestep, ctx: SimContext, tbl) -> ForceResult:
         loc = self.location(timestep)
         pos, _ = state.box.wrap(state.position, state.image)
-        k = jnp.take(self._tables["k"], state.typeid)
-        offset = jnp.take(self._tables["offset"], state.typeid)
+        k = jnp.take(tbl["params"]["k"], state.typeid)
+        offset = jnp.take(tbl["params"]["offset"], state.typeid)
         e, force = self._def.energy_force(pos, loc, k, offset)
         return ForceResult(
             force=force,
@@ -139,13 +139,15 @@ class _WallPotential(Force):
         types = sim._particle_types
         host = self.params.to_dict_tables(types)
         r_cut = host.pop("r_cut")
-        self._tables = tables_to_device(self._def.precompute(host))
-        self._r_cut_table = jnp.asarray(r_cut, dtype=jnp.float32)
+        self._tbl = {
+            "params": tables_to_device(self._def.precompute(host)),
+            "r_cut": jnp.asarray(r_cut, dtype=jnp.float32),
+        }
 
-    def _compute(self, state, nbr_idx, timestep, ctx: SimContext) -> ForceResult:
+    def _compute(self, state, nbr_idx, timestep, ctx: SimContext, tbl) -> ForceResult:
         pos, _ = state.box.wrap(state.position, state.image)
-        p = {k: jnp.take(v, state.typeid) for k, v in self._tables.items()}
-        rcut = jnp.take(self._r_cut_table, state.typeid)
+        p = {k: jnp.take(v, state.typeid) for k, v in tbl["params"].items()}
+        rcut = jnp.take(tbl["r_cut"], state.typeid)
         rcutsq = rcut * rcut
 
         force = jnp.zeros((state.N, 3), jnp.float32)

@@ -28,16 +28,16 @@ class Bond(Force):
     def _build_tables(self, sim):
         types = sim._bond_types
         host = self.params.to_dict_tables(types)
-        self._tables = tables_to_device(self._def.precompute(host))
+        self._tbl = {"params": tables_to_device(self._def.precompute(host))}
 
-    def _compute(self, state, nbr_idx, timestep, ctx: SimContext):
+    def _compute(self, state, nbr_idx, timestep, ctx: SimContext, tbl):
         return bond_force(
             self._def.energy_force,
             state.position,
             state.box,
             state.bond_group,
             state.bond_typeid,
-            self._tables,
+            tbl["params"],
             state.N,
         )
 

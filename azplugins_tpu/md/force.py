@@ -41,6 +41,18 @@ class Force:
         self._build_tables(sim)
         self._attached = True
 
+    def _refresh_tables(self, sim):
+        """Rebuild device tables from the (possibly user-mutated) params.
+
+        Called at the start of every run so parameter edits after attach
+        take effect without recompiling (tables are jit *arguments*).
+        """
+        self._build_tables(sim)
+
+    def _device_tables(self):
+        """The pytree of device arrays passed into the jitted step."""
+        return self._tbl
+
     def _detach(self):
         self._attached = False
         self._sim = None
@@ -48,7 +60,8 @@ class Force:
     def _build_tables(self, sim):  # pragma: no cover - interface
         raise NotImplementedError
 
-    def _compute(self, state, nbr_idx, timestep, ctx: SimContext) -> ForceResult:
+    def _compute(self, state, nbr_idx, timestep, ctx: SimContext, tbl) -> ForceResult:
+        """Pure force kernel; ``tbl`` is this force's _device_tables pytree."""
         raise NotImplementedError  # pragma: no cover
 
     def _max_r_cut(self) -> float:

@@ -15,8 +15,8 @@ __all__ = ["Integrator"]
 
 class Integrator:
     def __init__(self, dt: float, methods=None, forces=None, integrate_rotational_dof=False):
-        if dt <= 0:
-            raise ValueError("dt must be positive")
+        if dt < 0:
+            raise ValueError("dt must be non-negative")
         self.dt = float(dt)
         self.methods: list[Method] = list(methods) if methods is not None else []
         self.forces = list(forces) if forces is not None else []

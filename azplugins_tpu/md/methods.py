@@ -111,9 +111,10 @@ class LangevinFlow(Method, _GammaMixin):
     def step2(self, state, dt, timestep, seed):
         gamma = self._gamma_particle[:, None]
         kT = self.kT(timestep)
-        coeff = jnp.sqrt(6.0 * self._gamma_particle * kT / dt)[:, None]
-        if self.noiseless:
-            coeff = jnp.zeros_like(coeff)
+        if self.noiseless or dt <= 0:
+            coeff = jnp.zeros((state.N, 1), jnp.float32)
+        else:
+            coeff = jnp.sqrt(6.0 * self._gamma_particle * kT / dt)[:, None]
         u = _rng.particle_uniform3(self._rng_stream, seed, timestep, state.tag)
         random_force = coeff * u
         flow_vel = self._flow_velocity(state.position)
@@ -160,9 +161,10 @@ class BrownianFlow(Method, _GammaMixin):
     def step1(self, state, dt, timestep, seed):
         gamma = self._gamma_particle[:, None]
         kT = self.kT(timestep)
-        coeff = jnp.sqrt(6.0 * self._gamma_particle * kT / dt)[:, None]
-        if self.noiseless:
-            coeff = jnp.zeros_like(coeff)
+        if self.noiseless or dt <= 0:
+            coeff = jnp.zeros((state.N, 1), jnp.float32)
+        else:
+            coeff = jnp.sqrt(6.0 * self._gamma_particle * kT / dt)[:, None]
         u = _rng.particle_uniform3(self._rng_stream, seed, timestep, state.tag)
         random_force = coeff * u
         if self.flow_field is None:

@@ -57,28 +57,30 @@ class Pair(Force):
         self.r_on = TypeParameter("r_on", 2, None, float, default=float(default_r_on))
 
     def _build_tables(self, sim):
-        types = sim._particle_types
-        self._tables = build_pair_tables(self._def, self.params, types)
-        self._r_cut_table = np.asarray(self.r_cut.to_scalar_table(types), dtype=np.float32)
-        self._r_on_table = np.asarray(self.r_on.to_scalar_table(types), dtype=np.float32)
-
-    def _max_r_cut(self) -> float:
-        if not hasattr(self, "_r_cut_table"):
-            raise RuntimeError("not attached")
-        return float(self._r_cut_table.max())
-
-    def _compute(self, state, nbr_idx, timestep, ctx: SimContext):
         import jax.numpy as jnp
 
+        types = sim._particle_types
+        self._tbl = {
+            "params": build_pair_tables(self._def, self.params, types),
+            "r_cut": jnp.asarray(self.r_cut.to_scalar_table(types), dtype=jnp.float32),
+            "r_on": jnp.asarray(self.r_on.to_scalar_table(types), dtype=jnp.float32),
+        }
+
+    def _max_r_cut(self) -> float:
+        if not hasattr(self, "_tbl"):
+            raise RuntimeError("not attached")
+        return float(np.asarray(self._tbl["r_cut"]).max())
+
+    def _compute(self, state, nbr_idx, timestep, ctx: SimContext, tbl):
         return pair_force(
             self._def.energy_force,
             state.position,
             state.typeid,
             state.box,
             nbr_idx,
-            self._tables,
-            jnp.asarray(self._r_cut_table),
-            jnp.asarray(self._r_on_table),
+            tbl["params"],
+            tbl["r_cut"],
+            tbl["r_on"],
             self.mode,
         )
 
@@ -141,9 +143,7 @@ class DPDGeneralWeight(Pair):
         super().__init__(nlist, default_r_cut=default_r_cut, mode=mode)
         self.kT = as_variant(kT)
 
-    def _compute(self, state, nbr_idx, timestep, ctx: SimContext):
-        import jax.numpy as jnp
-
+    def _compute(self, state, nbr_idx, timestep, ctx: SimContext, tbl):
         kT = self.kT(timestep)
         return dpd_pair_force(
             state.position,
@@ -152,8 +152,8 @@ class DPDGeneralWeight(Pair):
             state.typeid,
             state.box,
             nbr_idx,
-            self._tables,
-            jnp.asarray(self._r_cut_table),
+            tbl["params"],
+            tbl["r_cut"],
             kT,
             ctx.dt,
             ctx.seed,
@@ -185,16 +185,18 @@ class TwoPatchMorse(Force):
         )
 
     def _build_tables(self, sim):
-        types = sim._particle_types
-        self._tables = build_pair_tables(self._def, self.params, types)
-        self._r_cut_table = np.asarray(self.r_cut.to_scalar_table(types), dtype=np.float32)
-
-    def _max_r_cut(self) -> float:
-        return float(self._r_cut_table.max())
-
-    def _compute(self, state, nbr_idx, timestep, ctx: SimContext):
         import jax.numpy as jnp
 
+        types = sim._particle_types
+        self._tbl = {
+            "params": build_pair_tables(self._def, self.params, types),
+            "r_cut": jnp.asarray(self.r_cut.to_scalar_table(types), dtype=jnp.float32),
+        }
+
+    def _max_r_cut(self) -> float:
+        return float(np.asarray(self._tbl["r_cut"]).max())
+
+    def _compute(self, state, nbr_idx, timestep, ctx: SimContext, tbl):
         return aniso_pair_force(
             self._def.energy_force_torque,
             state.position,
@@ -202,7 +204,7 @@ class TwoPatchMorse(Force):
             state.typeid,
             state.box,
             nbr_idx,
-            self._tables,
-            jnp.asarray(self._r_cut_table),
+            tbl["params"],
+            tbl["r_cut"],
             self.mode,
         )

@@ -36,6 +36,28 @@ class Operations:
         self.computes: list = []
         self.writers: list = []
 
+    def add(self, op):
+        """hoomd-style routing: forces go to the integrator, updaters and
+        computes to their lists."""
+        from .compute import Compute
+        from .md.force import Force
+        from .update import Updater
+
+        if isinstance(op, Force):
+            if self.integrator is None:
+                raise RuntimeError("set an integrator before adding forces")
+            self.integrator.forces.append(op)
+        elif isinstance(op, Updater):
+            self.updaters.append(op)
+        elif isinstance(op, Compute):
+            self.computes.append(op)
+        else:
+            raise TypeError(f"cannot add {op!r}")
+
+    def __iadd__(self, op):
+        self.add(op)
+        return self
+
 
 class _StateView:
     """hoomd-like ``sim.state`` accessor."""
@@ -179,11 +201,11 @@ class Simulation:
         force_cell = [self._force_nlist_index(f) for f in forces]
         N = self._state.N
 
-        def compute_net(state, nlds, t):
+        def compute_net(state, nlds, t, tbls):
             net = jnp.zeros((N, 3), jnp.float32)
-            for f, ci in zip(forces, force_cell):
+            for f, ci, tbl in zip(forces, force_cell, tbls):
                 idx = nlds[ci].idx if ci is not None else None
-                net = net + f._compute(state, idx, t, ctx).force
+                net = net + f._compute(state, idx, t, ctx, tbl).force
             return net
 
         def refresh_nlists(state, nlds):
@@ -202,11 +224,11 @@ class Simulation:
                 out.append(jax.lax.cond(rebuild, do_build, lambda nld=nld: nld))
             return tuple(out)
 
-        def one_step(state, nlds, t):
+        def one_step(state, nlds, t, tbls):
             for m in methods:
                 state = m.step1(state, dt, t, seed)
             nlds = refresh_nlists(state, nlds)
-            net = compute_net(state, nlds, t)
+            net = compute_net(state, nlds, t, tbls)
             state = state.replace(net_force=net)
             for m in methods:
                 state = m.step2(state, dt, t, seed)
@@ -216,10 +238,10 @@ class Simulation:
                 )
             return state, nlds
 
-        def run_chunk(state, nlds, t0, n_steps):
+        def run_chunk(state, nlds, t0, n_steps, tbls):
             def body(i, carry):
                 state, nlds = carry
-                return one_step(state, nlds, t0 + i)
+                return one_step(state, nlds, t0 + i, tbls)
 
             return jax.lax.fori_loop(0, n_steps, body, (state, nlds))
 
@@ -258,12 +280,19 @@ class Simulation:
                 self._build_nlists()
         return grown
 
+    def _force_tables(self):
+        integ = self.operations.integrator
+        forces = integ.forces if integ is not None else []
+        for f in forces:
+            f._refresh_tables(self)
+        return tuple(f._device_tables() for f in forces)
+
     def _prepare(self):
         """Compute initial forces/accelerations (HOOMD's pre-run prep)."""
         if self._nlds is None:
             self._build_nlists()
         ctx_t = jnp.int32(self._timestep)
-        net = jax.jit(self._compute_net)(self._state, self._nlds, ctx_t)
+        net = jax.jit(self._compute_net)(self._state, self._nlds, ctx_t, self._force_tables())
         accel = net / self._state.mass[:, None]
         self._state = self._state.replace(net_force=net, acceleration=accel)
         self._prepared = True
@@ -276,11 +305,12 @@ class Simulation:
         if not self._prepared:
             self._prepare()
         remaining = n_steps
+        tbls = self._force_tables()
         while remaining > 0:
             chunk = min(remaining, self.max_chunk)
             backup_state, backup_nlds = self._state, self._nlds
             t0 = jnp.int32(self._timestep)
-            state, nlds = self._run_chunk(backup_state, backup_nlds, t0, jnp.int32(chunk))
+            state, nlds = self._run_chunk(backup_state, backup_nlds, t0, jnp.int32(chunk), tbls)
             cell_of, nmax_of = self._overflowed(nlds)
             if cell_of or nmax_of:
                 # transactional replay with grown capacity
@@ -307,5 +337,6 @@ class Simulation:
         ci = self._force_nlist_index(force)
         idx = self._nlds[ci].idx if ci is not None else None
         ctx = self._ctx()
-        fn = jax.jit(lambda s, i, t: force._compute(s, i, t, ctx))
-        return fn(self._state, idx, jnp.int32(self._timestep))
+        force._refresh_tables(self)
+        fn = jax.jit(lambda s, i, t, tbl: force._compute(s, i, t, ctx, tbl))
+        return fn(self._state, idx, jnp.int32(self._timestep), force._device_tables())
