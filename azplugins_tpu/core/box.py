@@ -141,6 +141,26 @@ class Box:
         shift = jnp.round(f)
         return dr - shift.astype(dr.dtype) @ h.T
 
+    def min_image_components(self, dx, dy, dz):
+        """Minimum image on separate x/y/z component arrays.
+
+        TPU-critical form: large pairwise intermediates must be [N, M]
+        per component, never [..., 3] — a minor axis of 3 is padded to a
+        full 128-lane tile (42x memory blowup). Handles triclinic tilt.
+        """
+        Lx, Ly, Lz = self.L[0], self.L[1], self.L[2]
+        xy, xz, yz = self.tilt[0], self.tilt[1], self.tilt[2]
+        fz = dz / Lz
+        fy = (dy - yz * Lz * fz) / Ly
+        fx = (dx - xy * Ly * fy - xz * Lz * fz) / Lx
+        sx = jnp.round(fx)
+        sy = jnp.round(fy)
+        sz = jnp.round(fz)
+        dx = dx - (sx * Lx + sy * xy * Ly + sz * xz * Lz)
+        dy = dy - (sy * Ly + sz * yz * Lz)
+        dz = dz - sz * Lz
+        return dx, dy, dz
+
     def nearest_plane_distance(self) -> jnp.ndarray:
         """Distance between nearest periodic image planes along each axis."""
         h = self.matrix()

@@ -2,10 +2,10 @@
 
 TPU rebuild of HOOMD's ``AnisoPotentialPair<Evaluator>`` (SURVEY §2.3).
 Same dense masked-row-reduction shape as the isotropic driver, extended
-with particle orientations in and torques out. Note torque accumulation:
-with a full neighbor list each particle sums its *own* torque from every
-pair (torque_i for row i; the j-side torque is produced when the pair is
-visited from j's row).
+with particle orientations in and torques out — all pair-shaped values are
+componentwise [N, M] arrays (TPU tiling rule; see ops/pair_force.py).
+With a full neighbor list each particle sums its *own* torque from every
+pair (the j-side torque appears when the pair is visited from j's row).
 """
 
 from __future__ import annotations
@@ -31,44 +31,53 @@ def aniso_pair_force(
 ) -> ForceResult:
     N = position.shape[0]
     T = r_cut_table.shape[0]
-    sentinel = N
     j = jnp.minimum(nbr_idx, N - 1)
-    pos_j = jnp.take(position, j, axis=0)
-    dr = box.min_image(position[:, None, :] - pos_j)
-    rsq = jnp.sum(dr * dr, axis=-1)
-    valid = nbr_idx != sentinel
+    px, py, pz = position[:, 0], position[:, 1], position[:, 2]
+    dx = px[:, None] - px[j]
+    dy = py[:, None] - py[j]
+    dz = pz[:, None] - pz[j]
+    dx, dy, dz = box.min_image_components(dx, dy, dz)
+    rsq = dx * dx + dy * dy + dz * dz
+    valid = nbr_idx != N
     t_i = typeid[:, None]
-    t_j = jnp.take(typeid, j, axis=0)
+    t_j = typeid[j]
     p = _pair_tables(tables, t_i, t_j, T)
     rcut = jnp.take(r_cut_table.reshape(-1), t_i * T + t_j)
     rcutsq = rcut * rcut
     mask = valid & (rsq < rcutsq) & (rcut > 0)
 
-    quat_i = orientation[:, None, :]  # broadcasts against [N, M, ...]
-    quat_j = jnp.take(orientation, j, axis=0)
+    quat_i = tuple(orientation[:, k][:, None] for k in range(4))  # [N, 1] each
+    quat_j = tuple(orientation[:, k][j] for k in range(4))  # [N, M] each
     # sanitize dr for padded slots (evaluator divides by |dr|)
-    dr_safe = jnp.where(mask[..., None], dr, jnp.asarray([1.0, 0.0, 0.0]))
+    dx_s = jnp.where(mask, dx, 1.0)
+    dy_s = jnp.where(mask, dy, 0.0)
+    dz_s = jnp.where(mask, dz, 0.0)
 
-    e, f, t_i_vec, _t_j_vec = energy_force_torque_fn(
-        dr_safe, quat_i, quat_j, jnp.where(rcut > 0, rcutsq, 4.0), p, mode == "shift"
+    e, f, ti, _tj = energy_force_torque_fn(
+        (dx_s, dy_s, dz_s),
+        quat_i,
+        quat_j,
+        jnp.where(rcut > 0, rcutsq, 4.0),
+        p,
+        mode == "shift",
     )
 
-    mask_f = mask[..., None]
-    force = jnp.sum(jnp.where(mask_f, f, 0.0), axis=1)
-    energy = 0.5 * jnp.sum(jnp.where(mask, e, 0.0), axis=1)
-    torque = jnp.sum(jnp.where(mask_f, t_i_vec, 0.0), axis=1)
+    def msum(x):
+        return jnp.sum(jnp.where(mask, x, 0.0), axis=1)
+
+    force = jnp.stack([msum(f[0]), msum(f[1]), msum(f[2])], axis=-1)
+    energy = 0.5 * msum(e)
+    torque = jnp.stack([msum(ti[0]), msum(ti[1]), msum(ti[2])], axis=-1)
 
     # virial: 0.5 * dr_a * F_b per pair (HOOMD aniso convention)
-    fm = jnp.where(mask_f, f, 0.0)
-    w = 0.5
     virial = jnp.stack(
         [
-            w * jnp.sum(dr[..., 0] * fm[..., 0], axis=1),
-            w * jnp.sum(dr[..., 0] * fm[..., 1], axis=1),
-            w * jnp.sum(dr[..., 0] * fm[..., 2], axis=1),
-            w * jnp.sum(dr[..., 1] * fm[..., 1], axis=1),
-            w * jnp.sum(dr[..., 1] * fm[..., 2], axis=1),
-            w * jnp.sum(dr[..., 2] * fm[..., 2], axis=1),
+            0.5 * msum(dx * f[0]),
+            0.5 * msum(dx * f[1]),
+            0.5 * msum(dx * f[2]),
+            0.5 * msum(dy * f[1]),
+            0.5 * msum(dy * f[2]),
+            0.5 * msum(dz * f[2]),
         ],
         axis=-1,
     )

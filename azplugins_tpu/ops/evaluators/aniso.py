@@ -1,9 +1,14 @@
-"""Anisotropic pair evaluators: force + energy + torques.
+"""Anisotropic pair evaluators: force + energy + torques (componentwise).
 
-Rebuild of SURVEY §2.3. Protocol:
-``(dr, quat_i, quat_j, rcutsq, params) -> (energy, force, torque_i, torque_j)``
-with ``dr = r_i - r_j`` (minimum image), applied elementwise over the padded
-neighbor array by ops/aniso_force.py.
+Rebuild of SURVEY §2.3. TPU layout rule: all pair-shaped values are
+separate [N, M] arrays per component (a trailing 3- or 4-axis would be
+padded to a 128-lane tile). Protocol:
+
+``(dxyz, quat_i, quat_j, rcutsq, params, energy_shift) ->
+  (energy, force_xyz, torque_i_xyz, torque_j_xyz)``
+
+where dxyz/force/torque are 3-tuples of arrays and quat_* are 4-tuples
+(w, x, y, z).
 
 TwoPatchMorse physics re-derived from
 /root/reference/src/AnisoPairEvaluatorTwoPatchMorse.h:127-216: Morse radial
@@ -19,8 +24,6 @@ from typing import Callable
 
 import jax.numpy as jnp
 
-from ...utils.quaternion import rotate_x
-
 __all__ = ["AnisoPairPotentialDef", "ANISO_PAIR_POTENTIALS", "two_patch_morse"]
 
 
@@ -29,8 +32,6 @@ class AnisoPairPotentialDef:
     name: str
     spec: dict
     precompute: Callable[[dict], dict]
-    # (dr, quat_i, quat_j, rcutsq, params, energy_shift) ->
-    #     (energy, force[...,3], torque_i[...,3], torque_j[...,3])
     energy_force_torque: Callable
 
 
@@ -43,6 +44,19 @@ def _tpm_precompute(t: dict) -> dict:
         "alpha": t["alpha"],
         "repulsion": t["repulsion"],
     }
+
+
+def _rotate_x(q):
+    """Rotate the body-frame x axis by quaternion components (w, x, y, z)."""
+    w, x, y, z = q
+    nx = 1.0 - 2.0 * (y * y + z * z)
+    ny = 2.0 * (x * y + w * z)
+    nz = 2.0 * (x * z - w * y)
+    return nx, ny, nz
+
+
+def _cross(ax, ay, az, bx, by, bz):
+    return ay * bz - az * by, az * bx - ax * bz, ax * by - ay * bx
 
 
 def _morse(r, p):
@@ -58,15 +72,16 @@ def _morse(r, p):
     return U, dU_dr
 
 
-def two_patch_morse(dr, quat_i, quat_j, rcutsq, p, energy_shift: bool):
-    rsq = jnp.sum(dr * dr, axis=-1)
+def two_patch_morse(dxyz, quat_i, quat_j, rcutsq, p, energy_shift: bool):
+    dx, dy, dz = dxyz
+    rsq = dx * dx + dy * dy + dz * dz
     rsq_safe = jnp.where(rsq > 0, rsq, 1.0)
     rinv = 1.0 / jnp.sqrt(rsq_safe)
-    r = rsq_safe * rinv  # = sqrt(rsq)
-    unitr = dr * rinv[..., None]
+    r = rsq_safe * rinv
+    ux, uy, uz = dx * rinv, dy * rinv, dz * rinv
 
-    n_i = rotate_x(quat_i)
-    n_j = rotate_x(quat_j)
+    nix, niy, niz = _rotate_x(quat_i)
+    njx, njy, njz = _rotate_x(quat_j)
 
     U, dU_dr_radial = _morse(r, p)
 
@@ -76,8 +91,8 @@ def two_patch_morse(dr, quat_i, quat_j, rcutsq, p, energy_shift: bool):
         dOm_dg = 2.0 * p["omega"] * gamma * g_exp * Om * Om
         return Om, dOm_dg
 
-    gamma_i = jnp.sum(unitr * n_i, axis=-1)
-    gamma_j = jnp.sum(unitr * n_j, axis=-1)
+    gamma_i = ux * nix + uy * niy + uz * niz
+    gamma_j = ux * njx + uy * njy + uz * njz
     Om_i, dOmi = omega_terms(gamma_i)
     Om_j, dOmj = omega_terms(gamma_j)
 
@@ -86,16 +101,20 @@ def two_patch_morse(dr, quat_i, quat_j, rcutsq, p, energy_shift: bool):
     dU_dgi = dOmi * U * Om_j
     dU_dgj = dOmj * U * Om_i
 
-    # n_perp = -rhat x (rhat x n) is the in-plane component driving rotation
-    n_i_perp = jnp.cross(-unitr, jnp.cross(unitr, n_i))
-    n_j_perp = jnp.cross(-unitr, jnp.cross(unitr, n_j))
+    # n_perp = -rhat x (rhat x n): the component of n perpendicular to rhat
+    # equals n - (rhat.n) rhat, times... expand double cross directly:
+    # -u x (u x n) = n - (u.n) u
+    nipx, nipy, nipz = nix - gamma_i * ux, niy - gamma_i * uy, niz - gamma_i * uz
+    njpx, njpy, njpz = njx - gamma_j * ux, njy - gamma_j * uy, njz - gamma_j * uz
 
-    force = (
-        -dU_dr[..., None] * unitr
-        - rinv[..., None] * (dU_dgi[..., None] * n_i_perp + dU_dgj[..., None] * n_j_perp)
-    )
-    torque_i = dU_dgi[..., None] * jnp.cross(unitr, n_i)
-    torque_j = dU_dgj[..., None] * jnp.cross(unitr, n_j)
+    fx = -dU_dr * ux - rinv * (dU_dgi * nipx + dU_dgj * njpx)
+    fy = -dU_dr * uy - rinv * (dU_dgi * nipy + dU_dgj * njpy)
+    fz = -dU_dr * uz - rinv * (dU_dgi * nipz + dU_dgj * njpz)
+
+    cix, ciy, ciz = _cross(ux, uy, uz, nix, niy, niz)
+    cjx, cjy, cjz = _cross(ux, uy, uz, njx, njy, njz)
+    ti = (dU_dgi * cix, dU_dgi * ciy, dU_dgi * ciz)
+    tj = (dU_dgj * cjx, dU_dgj * cjy, dU_dgj * cjz)
 
     if energy_shift:
         # shift uses the raw Morse form at rcut (no flat-bottom clamp),
@@ -106,7 +125,7 @@ def two_patch_morse(dr, quat_i, quat_j, rcutsq, p, energy_shift: bool):
         U_cut = p["M_d"] * (one_minus_cut * one_minus_cut - 1.0)
         e = e - U_cut * Om_i * Om_j
 
-    return e, force, torque_i, torque_j
+    return e, (fx, fy, fz), ti, tj
 
 
 ANISO_PAIR_POTENTIALS = {

@@ -168,10 +168,14 @@ def build_neighbor_list(position: jnp.ndarray, box: Box, spec: NeighborSpec) -> 
     # occupants of all stencil cells: [N, S*cap]
     cand = table[(ncid[..., None] * cap + jnp.arange(cap, dtype=jnp.int32)).reshape(N, -1)]
 
-    # ---- distance filter ---------------------------------------------------
-    pos_j = jnp.take(position, jnp.minimum(cand, N - 1), axis=0)
-    dr = box.min_image(position[:, None, :] - pos_j)
-    rsq = jnp.sum(dr * dr, axis=-1)
+    # ---- distance filter (componentwise: no [.., 3] minor axis on TPU) -----
+    j = jnp.minimum(cand, N - 1)
+    px, py, pz = position[:, 0], position[:, 1], position[:, 2]
+    dx = px[:, None] - px[j]
+    dy = py[:, None] - py[j]
+    dz = pz[:, None] - pz[j]
+    dx, dy, dz = box.min_image_components(dx, dy, dz)
+    rsq = dx * dx + dy * dy + dz * dz
     i_ids = jnp.arange(N, dtype=jnp.int32)[:, None]
     r_list_sq = jnp.float32(spec.r_list * spec.r_list)
     keep = (cand != sentinel) & (cand != i_ids) & (rsq < r_list_sq)
@@ -197,6 +201,7 @@ def build_neighbor_list(position: jnp.ndarray, box: Box, spec: NeighborSpec) -> 
 
 def needs_rebuild(nlist: NeighborListData, position: jnp.ndarray, box: Box, buffer: float):
     """True if any particle moved more than buffer/2 since the last build."""
-    dr = box.min_image(position - nlist.ref_position)
-    dispsq = jnp.sum(dr * dr, axis=-1)
+    d = position - nlist.ref_position
+    dx, dy, dz = box.min_image_components(d[:, 0], d[:, 1], d[:, 2])
+    dispsq = dx * dx + dy * dy + dz * dz
     return jnp.max(dispsq) > jnp.float32(0.25 * buffer * buffer)

@@ -7,6 +7,11 @@ TPU rebuild of HOOMD's ``PotentialPair<Evaluator>`` /
 full (two-sided) neighbor list makes the accumulation a row reduction —
 no scatter, no atomics, perfectly shaped for the VPU.
 
+TPU layout rule: every large pairwise intermediate is a separate [N, M]
+array per vector component. A trailing axis of 3 would be padded to a full
+128-lane tile by the (8, 128) tiling — a 42x memory blowup that OOMs at
+64k particles.
+
 Shift-mode semantics mirror HOOMD: ``none``, ``shift`` (subtract V(rcut)),
 ``xplor`` (smooth S(r) between r_on and r_cut; falls back to shift when
 r_on >= r_cut). Mode is trace-time static.
@@ -23,10 +28,9 @@ import jax.numpy as jnp
 
 from ..core import rng as _rng
 from ..core.box import Box
+from ..utils import pytree_dataclass
 
 __all__ = ["pair_force", "dpd_pair_force", "ForceResult"]
-
-from ..utils import pytree_dataclass
 
 
 @pytree_dataclass
@@ -62,17 +66,22 @@ def zero_force_result(N: int, with_torque: bool = False) -> ForceResult:
 
 
 def _gather_pairwise(position, typeid, box: Box, nbr_idx):
-    """Common pair geometry: (dr, rsq, mask, t_i, t_j) for [N, M] pairs."""
+    """Common pair geometry, componentwise.
+
+    Returns (j, dx, dy, dz, rsq, valid, t_i, t_j), each pair array [N, M].
+    """
     N = position.shape[0]
-    sentinel = N
     j = jnp.minimum(nbr_idx, N - 1)
-    pos_j = jnp.take(position, j, axis=0)  # [N, M, 3]
-    dr = box.min_image(position[:, None, :] - pos_j)
-    rsq = jnp.sum(dr * dr, axis=-1)
-    valid = nbr_idx != sentinel
+    px, py, pz = position[:, 0], position[:, 1], position[:, 2]
+    dx = px[:, None] - px[j]
+    dy = py[:, None] - py[j]
+    dz = pz[:, None] - pz[j]
+    dx, dy, dz = box.min_image_components(dx, dy, dz)
+    rsq = dx * dx + dy * dy + dz * dz
+    valid = nbr_idx != N
     t_i = typeid[:, None]
-    t_j = jnp.take(typeid, j, axis=0)
-    return dr, rsq, valid, t_i, t_j
+    t_j = typeid[j]
+    return j, dx, dy, dz, rsq, valid, t_i, t_j
 
 
 def _pair_tables(tables: dict, t_i, t_j, T: int):
@@ -92,21 +101,28 @@ def _xplor_smooth(e, f, rsq, rcutsq, r_onsq):
     return e_new, f_new
 
 
-def _accumulate(dr, e, f_divr, mask):
+def _accumulate(dx, dy, dz, e, f_divr, mask):
     """Row-reduce masked pair terms into per-particle force/energy/virial."""
     f_divr = jnp.where(mask, f_divr, 0.0)
     e = jnp.where(mask, e, 0.0)
-    force = jnp.sum(f_divr[..., None] * dr, axis=1)
+    force = jnp.stack(
+        [
+            jnp.sum(f_divr * dx, axis=1),
+            jnp.sum(f_divr * dy, axis=1),
+            jnp.sum(f_divr * dz, axis=1),
+        ],
+        axis=-1,
+    )
     energy = 0.5 * jnp.sum(e, axis=1)
     w = 0.5 * f_divr
     virial = jnp.stack(
         [
-            jnp.sum(w * dr[..., 0] * dr[..., 0], axis=1),
-            jnp.sum(w * dr[..., 0] * dr[..., 1], axis=1),
-            jnp.sum(w * dr[..., 0] * dr[..., 2], axis=1),
-            jnp.sum(w * dr[..., 1] * dr[..., 1], axis=1),
-            jnp.sum(w * dr[..., 1] * dr[..., 2], axis=1),
-            jnp.sum(w * dr[..., 2] * dr[..., 2], axis=1),
+            jnp.sum(w * dx * dx, axis=1),
+            jnp.sum(w * dx * dy, axis=1),
+            jnp.sum(w * dx * dz, axis=1),
+            jnp.sum(w * dy * dy, axis=1),
+            jnp.sum(w * dy * dz, axis=1),
+            jnp.sum(w * dz * dz, axis=1),
         ],
         axis=-1,
     )
@@ -133,7 +149,7 @@ def pair_force(
         mode: "none" | "shift" | "xplor" (static).
     """
     T = r_cut_table.shape[0]
-    dr, rsq, valid, t_i, t_j = _gather_pairwise(position, typeid, box, nbr_idx)
+    _, dx, dy, dz, rsq, valid, t_i, t_j = _gather_pairwise(position, typeid, box, nbr_idx)
     p = _pair_tables(tables, t_i, t_j, T)
     rcut = jnp.take(r_cut_table.reshape(-1), t_i * T + t_j)
     rcutsq = rcut * rcut
@@ -159,7 +175,7 @@ def pair_force(
     elif mode != "none":
         raise ValueError(f"unknown shift mode {mode!r}")
 
-    force, energy, virial = _accumulate(dr, e, f, mask)
+    force, energy, virial = _accumulate(dx, dy, dz, e, f, mask)
     return ForceResult(force=force, energy=energy, virial=virial)
 
 
@@ -186,9 +202,8 @@ def dpd_pair_force(
       F_R = sqrt(6 gamma kT / dt) w_R alpha * dr,  alpha ~ U(-1, 1) per pair
     Only the conservative part contributes to the virial.
     """
-    N = position.shape[0]
     T = r_cut_table.shape[0]
-    dr, rsq, valid, t_i, t_j = _gather_pairwise(position, typeid, box, nbr_idx)
+    j, dx, dy, dz, rsq, valid, t_i, t_j = _gather_pairwise(position, typeid, box, nbr_idx)
     p = _pair_tables(tables, t_i, t_j, T)
     rcut = jnp.take(r_cut_table.reshape(-1), t_i * T + t_j)
     rcutsq = rcut * rcut
@@ -204,26 +219,25 @@ def dpd_pair_force(
     f_cons = p["A"] * (rinv - rcutinv)
     e = p["A"] * (rcut_safe - r) - 0.5 * p["A"] * rcutinv * (rcutsq - rsq_safe)
 
-    # drag: v_ij . r_ij with v_ij = v_i - v_j, r_ij = r_i - r_j (min image)
-    j = jnp.minimum(nbr_idx, N - 1)
-    v_j = jnp.take(velocity, j, axis=0)
-    v_ij = velocity[:, None, :] - v_j
-    rdotv = jnp.sum(dr * v_ij, axis=-1)
+    # drag: v_ij . r_ij componentwise
+    vx, vy, vz = velocity[:, 0], velocity[:, 1], velocity[:, 2]
+    rdotv = dx * (vx[:, None] - vx[j]) + dy * (vy[:, None] - vy[j]) + dz * (vz[:, None] - vz[j])
     w_R = jnp.maximum(1.0 - r * rcutinv, 0.0) ** (0.5 * p["s"]) * rinv
     f_drag = -p["gamma"] * w_R * w_R * rdotv
 
     # random: one symmetric uniform per (pair, timestep)
-    tag_j = jnp.take(tag, j, axis=0)
     alpha = _rng.pair_uniform(
-        _rng.Stream.DPD_GENERAL_WEIGHT, seed, timestep, tag[:, None], tag_j
+        _rng.Stream.DPD_GENERAL_WEIGHT, seed, timestep, tag[:, None], tag[j]
     )
     kT = jnp.float32(kT)
     dt_arr = jnp.float32(dt)
-    sigma_coeff = jnp.where(dt_arr > 0, jnp.sqrt(6.0 * p["gamma"] * kT / jnp.maximum(dt_arr, 1e-20)), 0.0)
+    sigma_coeff = jnp.where(
+        dt_arr > 0, jnp.sqrt(6.0 * p["gamma"] * kT / jnp.maximum(dt_arr, 1e-20)), 0.0
+    )
     f_rand = sigma_coeff * w_R * alpha
 
     f_total = f_cons + f_drag + f_rand
-    force, energy, _ = _accumulate(dr, e, f_total, mask)
+    force, energy, _ = _accumulate(dx, dy, dz, e, f_total, mask)
     # virial from the conservative part only (reference :239)
-    _, _, virial = _accumulate(dr, e, f_cons, mask)
+    _, _, virial = _accumulate(dx, dy, dz, e, f_cons, mask)
     return ForceResult(force=force, energy=energy, virial=virial)

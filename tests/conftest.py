@@ -2,17 +2,35 @@
 
 Mirrors the reference CI pattern of running the same suite under MPI
 (SURVEY §4.6) — here the multi-"rank" axis is a host-platform device mesh.
-Must run before jax is imported anywhere.
+
+The ambient environment pins JAX to the real TPU ("axon" platform) via a
+sitecustomize that registers and initializes the backend at interpreter
+start, before any conftest code runs. Env edits alone are therefore too
+late; we drop the axon backend factory and reset the backend cache so the
+suite deterministically runs on 8 virtual CPU devices.
 """
 
 import os
 
-os.environ.setdefault("JAX_PLATFORMS", "cpu")
+os.environ["JAX_PLATFORMS"] = "cpu"
 flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in flags:
     os.environ["XLA_FLAGS"] = (
         flags + " --xla_force_host_platform_device_count=8"
     ).strip()
+
+import jax  # noqa: E402
+
+try:
+    jax.config.update("jax_platforms", "cpu")
+    from jax._src import xla_bridge as _xb
+
+    _xb._backend_factories.pop("axon", None)
+    _xb._clear_backends()
+except Exception:  # pragma: no cover - defensive: plain-CPU environments
+    pass
+
+assert jax.default_backend() == "cpu", "tests must run on CPU"
 
 import numpy as np  # noqa: E402
 import pytest  # noqa: E402
