@@ -60,13 +60,13 @@ class VelocityCompute(Compute):
 
     def _attach(self, sim):
         super()._attach(sim)
-        typeids = np.asarray(sim._state.typeid)
+        typeids = np.asarray(sim._synced_state().typeid)
         self._mask = jnp.asarray(self.filter.mask(typeids, sim._particle_types))
 
     @property
     def velocity(self):
         self._require_attached("velocity")
-        state = self._sim._state
+        state = self._sim._synced_state()
 
         @jax.jit
         def _calc(vel, mass, mask):
@@ -102,7 +102,7 @@ class VelocityFieldCompute(Compute):
 
     def _attach(self, sim):
         super()._attach(sim)
-        typeids = np.asarray(sim._state.typeid)
+        typeids = np.asarray(sim._synced_state().typeid)
         if self.filter is None:
             self._mask = jnp.zeros(typeids.shape[0], dtype=bool)
         else:
@@ -131,7 +131,7 @@ class VelocityFieldCompute(Compute):
     @property
     def velocities(self):
         self._require_attached("velocities")
-        state = self._sim._state
+        state = self._sim._synced_state()
         num_bins = self.num_bins
         lower = self.lower_bounds
         upper = self.upper_bounds
@@ -181,13 +181,13 @@ class ThermodynamicQuantities(Compute):
 
     def _attach(self, sim):
         super()._attach(sim)
-        typeids = np.asarray(sim._state.typeid)
+        typeids = np.asarray(sim._synced_state().typeid)
         self._mask = jnp.asarray(self.filter.mask(typeids, sim._particle_types))
 
     @property
     def kinetic_energy(self) -> float:
         self._require_attached("kinetic_energy")
-        state = self._sim._state
+        state = self._sim._synced_state()
         m = jnp.where(self._mask, state.mass, 0.0)
         ke = 0.5 * jnp.sum(m * jnp.sum(state.velocity**2, axis=-1))
         return float(ke)

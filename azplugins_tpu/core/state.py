@@ -4,8 +4,10 @@ The TPU replacement for HOOMD's ``ParticleData``/``SystemDefinition``
 substrate (particle arrays consumed by the reference at
 /root/reference/src/TwoStepLangevinFlow.h:113-126). State is one immutable
 pytree of static-shaped HBM arrays; a timestep is a pure function
-``State -> State`` that XLA compiles once. Particle index == tag (we never
-reorder in HBM; spatial sorting happens inside the neighbor kernels).
+``State -> State`` that XLA compiles once. The user-facing State is in tag
+order (index == tag); the engine's hot loop runs the same pytree in the
+dense cell-slot order of ops/dense.py, where ``tag`` maps slots back to
+user order and negative tags mark empty slots.
 """
 
 from __future__ import annotations
@@ -29,6 +31,8 @@ class State:
     """
 
     position: jnp.ndarray  # [N, 3]
+    tag: jnp.ndarray  # [N] int32; == index in user (tag) order, permuted in
+    # engine slot order; negative marks an empty slot
     velocity: jnp.ndarray  # [N, 3]
     typeid: jnp.ndarray  # [N] int32
     image: jnp.ndarray  # [N, 3] int32
@@ -50,10 +54,6 @@ class State:
     def n_bonds(self) -> int:
         return self.bond_typeid.shape[0]
 
-    @property
-    def tag(self) -> jnp.ndarray:
-        """Tags equal HBM indices by construction (no global reordering)."""
-        return jnp.arange(self.N, dtype=jnp.int32)
 
 
 def state_from_snapshot(snapshot: Snapshot) -> tuple[State, list[str], list[str]]:
@@ -68,6 +68,7 @@ def state_from_snapshot(snapshot: Snapshot) -> tuple[State, list[str], list[str]
 
     state = State(
         position=jnp.asarray(p.position, dtype=jnp.float32),
+        tag=jnp.arange(p.N, dtype=jnp.int32),
         velocity=jnp.asarray(p.velocity, dtype=jnp.float32),
         typeid=jnp.asarray(p.typeid, dtype=jnp.int32),
         image=jnp.asarray(p.image, dtype=jnp.int32),

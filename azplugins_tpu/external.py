@@ -58,7 +58,7 @@ class HarmonicBarrier(Force):
         # validate the barrier stays inside the box over its range
         lo, hi = self.location.range()
         for extreme in (lo, hi):
-            if np.isfinite(extreme) and not self._def.valid(extreme, sim._state.box):
+            if np.isfinite(extreme) and not self._def.valid(extreme, sim._synced_state().box):
                 raise ValueError(
                     f"{type(self).__name__}: location {extreme} is outside the global box"
                 )
@@ -76,6 +76,9 @@ class HarmonicBarrier(Force):
         k = jnp.take(tbl["params"]["k"], state.typeid)
         offset = jnp.take(tbl["params"]["offset"], state.typeid)
         e, force = self._def.energy_force(pos, loc, k, offset)
+        valid = state.tag >= 0  # dense layout: ignore empty slots
+        e = jnp.where(valid, e, 0.0)
+        force = jnp.where(valid[:, None], force, 0.0)
         return ForceResult(
             force=force,
             energy=e,
@@ -152,12 +155,13 @@ class _WallPotential(Force):
 
         force = jnp.zeros((state.N, 3), jnp.float32)
         energy = jnp.zeros((state.N,), jnp.float32)
+        valid = state.tag >= 0  # dense layout: ignore empty slots
         for w in self.walls:
             origin = jnp.asarray(w.origin, dtype=jnp.float32)
             normal = jnp.asarray(w.normal, dtype=jnp.float32)
             r = jnp.sum((pos - origin) * normal, axis=-1)
             rsq = r * r
-            mask = (r > 0) & (rsq < rcutsq)
+            mask = valid & (r > 0) & (rsq < rcutsq)
             rsq_safe = jnp.where(mask, rsq, 1.0)
             e, f_divr = self._def.energy_force(rsq_safe, rcutsq, p, state.diameter)
             # force along +normal with magnitude f_divr * r

@@ -11,6 +11,7 @@ from __future__ import annotations
 
 from ..core.typeparam import TypeParameter
 from ..ops.bond_force import bond_force
+from ..ops.dense import dense_bond_force
 from ..ops.evaluators import BOND_POTENTIALS
 from .force import Force, SimContext, tables_to_device
 
@@ -39,6 +40,18 @@ class Bond(Force):
             state.bond_typeid,
             tbl["params"],
             state.N,
+        )
+
+    def _compute_dense(self, dense, jb, spec, slot_of, timestep, ctx, tbl):
+        if slot_of is None:
+            return self._compute(dense, None, timestep, ctx, tbl)
+        return dense_bond_force(
+            self._def.energy_force,
+            dense,
+            slot_of,
+            dense.bond_group,
+            dense.bond_typeid,
+            tbl["params"],
         )
 
 

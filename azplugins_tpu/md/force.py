@@ -64,6 +64,20 @@ class Force:
         """Pure force kernel; ``tbl`` is this force's _device_tables pytree."""
         raise NotImplementedError  # pragma: no cover
 
+    # dense-engine hooks ---------------------------------------------------
+    _needs_velocity_j = False
+    _needs_tag_j = False
+    _needs_quat_j = False
+
+    def _compute_dense(self, dense, jb, spec, slot_of, timestep, ctx, tbl) -> ForceResult:
+        """Force kernel in the dense (slot) layout.
+
+        Default: per-particle forces (barriers/walls) are layout-agnostic;
+        reuse ``_compute`` with no neighbor structure. Pair/bond forces
+        override.
+        """
+        return self._compute(dense, None, timestep, ctx, tbl)
+
     def _max_r_cut(self) -> float:
         return 0.0
 

@@ -34,14 +34,13 @@ __all__ = ["Method", "ConstantVolume", "Langevin", "LangevinFlow", "Brownian", "
 class Method:
     def __init__(self, filter: ParticleFilter | None = None):
         self.filter = filter if filter is not None else All()
-        self._mask = None  # [N] bool, resolved at attach
+        self._select = None  # traced selector, bound at attach
 
     def _attach(self, sim):
-        typeids = np.asarray(sim._state.typeid)
-        self._mask = jnp.asarray(self.filter.mask(typeids, sim._particle_types))
+        self._select = self.filter.bind(sim._particle_types)
 
-    def _where(self, new, old):
-        m = self._mask
+    def _where(self, state, new, old):
+        m = self._select(state)
         if new.ndim > m.ndim:
             m = m[(...,) + (None,) * (new.ndim - m.ndim)]
         return jnp.where(m, new, old)
@@ -55,17 +54,17 @@ class Method:
         pos = state.position + dt * vel_half
         pos, image = state.box.wrap(pos, state.image)
         return state.replace(
-            position=self._where(pos, state.position),
-            image=self._where(image, state.image),
-            velocity=self._where(vel_half, state.velocity),
+            position=self._where(state, pos, state.position),
+            image=self._where(state, image, state.image),
+            velocity=self._where(state, vel_half, state.velocity),
         )
 
     def step2(self, state, dt, timestep, seed):
         accel = state.net_force / state.mass[:, None]
         vel = state.velocity + (0.5 * dt) * accel
         return state.replace(
-            velocity=self._where(vel, state.velocity),
-            acceleration=self._where(accel, state.acceleration),
+            velocity=self._where(state, vel, state.velocity),
+            acceleration=self._where(state, accel, state.acceleration),
         )
 
 
@@ -78,8 +77,13 @@ class _GammaMixin:
         self.gamma = TypeParameter("gamma", 1, None, float, default=float(default_gamma))
 
     def _attach_gamma(self, sim):
-        table = jnp.asarray(self.gamma.to_scalar_table(sim._particle_types), dtype=jnp.float32)
-        self._gamma_particle = jnp.take(table, sim._state.typeid)
+        self._gamma_table = jnp.asarray(
+            self.gamma.to_scalar_table(sim._particle_types), dtype=jnp.float32
+        )
+
+    def _gamma_of(self, state):
+        # typeid may be permuted (and -1 on empty slots) in the dense layout
+        return jnp.take(self._gamma_table, jnp.maximum(state.typeid, 0))
 
 
 class LangevinFlow(Method, _GammaMixin):
@@ -109,12 +113,13 @@ class LangevinFlow(Method, _GammaMixin):
         return self.flow_field(position)
 
     def step2(self, state, dt, timestep, seed):
-        gamma = self._gamma_particle[:, None]
+        gp = self._gamma_of(state)
+        gamma = gp[:, None]
         kT = self.kT(timestep)
         if self.noiseless or dt <= 0:
             coeff = jnp.zeros((state.N, 1), jnp.float32)
         else:
-            coeff = jnp.sqrt(6.0 * self._gamma_particle * kT / dt)[:, None]
+            coeff = jnp.sqrt(6.0 * gp * kT / dt)[:, None]
         u = _rng.particle_uniform3(self._rng_stream, seed, timestep, state.tag)
         random_force = coeff * u
         flow_vel = self._flow_velocity(state.position)
@@ -122,8 +127,8 @@ class LangevinFlow(Method, _GammaMixin):
         accel = (state.net_force + bd_force) / state.mass[:, None]
         vel = state.velocity + (0.5 * dt) * accel
         return state.replace(
-            velocity=self._where(vel, state.velocity),
-            acceleration=self._where(accel, state.acceleration),
+            velocity=self._where(state, vel, state.velocity),
+            acceleration=self._where(state, accel, state.acceleration),
         )
 
 
@@ -159,12 +164,13 @@ class BrownianFlow(Method, _GammaMixin):
         self._attach_gamma(sim)
 
     def step1(self, state, dt, timestep, seed):
-        gamma = self._gamma_particle[:, None]
+        gp = self._gamma_of(state)
+        gamma = gp[:, None]
         kT = self.kT(timestep)
         if self.noiseless or dt <= 0:
             coeff = jnp.zeros((state.N, 1), jnp.float32)
         else:
-            coeff = jnp.sqrt(6.0 * self._gamma_particle * kT / dt)[:, None]
+            coeff = jnp.sqrt(6.0 * gp * kT / dt)[:, None]
         u = _rng.particle_uniform3(self._rng_stream, seed, timestep, state.tag)
         random_force = coeff * u
         if self.flow_field is None:
@@ -174,8 +180,8 @@ class BrownianFlow(Method, _GammaMixin):
         pos = state.position + (flow_vel + (state.net_force + random_force) / gamma) * dt
         pos, image = state.box.wrap(pos, state.image)
         return state.replace(
-            position=self._where(pos, state.position),
-            image=self._where(image, state.image),
+            position=self._where(state, pos, state.position),
+            image=self._where(state, image, state.image),
         )
 
     def step2(self, state, dt, timestep, seed):

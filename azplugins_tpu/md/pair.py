@@ -19,6 +19,7 @@ from ..core.typeparam import TypeParameter
 from ..core.variant import as_variant
 from ..ops.aniso_force import aniso_pair_force
 from ..ops.evaluators import ANISO_PAIR_POTENTIALS, PAIR_POTENTIALS
+from ..ops.dense import dense_aniso_force, dense_dpd_force, dense_pair_force
 from ..ops.pair_force import dpd_pair_force, pair_force
 from .force import Force, SimContext, build_pair_tables
 from .nlist import Cell
@@ -84,6 +85,18 @@ class Pair(Force):
             self.mode,
         )
 
+    def _compute_dense(self, dense, jb, spec, slot_of, timestep, ctx, tbl):
+        return dense_pair_force(
+            self._def.energy_force,
+            dense,
+            jb,
+            spec,
+            tbl["params"],
+            tbl["r_cut"],
+            tbl["r_on"],
+            self.mode,
+        )
+
 
 class Colloid(Pair):
     """Integrated Lennard-Jones (Hamaker/Everaers-Ejtehadi) colloid potential.
@@ -138,6 +151,8 @@ class DPDGeneralWeight(Pair):
 
     _evaluator_name = "DPDGeneralWeight"
     _accepted_modes = ("none",)
+    _needs_velocity_j = True
+    _needs_tag_j = True
 
     def __init__(self, nlist: Cell, kT, default_r_cut=None, mode="none"):
         super().__init__(nlist, default_r_cut=default_r_cut, mode=mode)
@@ -160,6 +175,13 @@ class DPDGeneralWeight(Pair):
             timestep,
         )
 
+    def _compute_dense(self, dense, jb, spec, slot_of, timestep, ctx, tbl):
+        kT = self.kT(timestep)
+        return dense_dpd_force(
+            dense, jb, spec, tbl["params"], tbl["r_cut"],
+            kT, ctx.dt, ctx.seed, timestep,
+        )
+
 
 class TwoPatchMorse(Force):
     """Anisotropic two-patch Morse potential (forces + torques).
@@ -171,6 +193,7 @@ class TwoPatchMorse(Force):
     _needs_nlist = True
     _produces_torque = True
     _accepted_modes = ("none", "shift")
+    _needs_quat_j = True
 
     def __init__(self, nlist: Cell, default_r_cut=None, mode="none"):
         super().__init__()
@@ -207,4 +230,10 @@ class TwoPatchMorse(Force):
             tbl["params"],
             tbl["r_cut"],
             self.mode,
+        )
+
+    def _compute_dense(self, dense, jb, spec, slot_of, timestep, ctx, tbl):
+        return dense_aniso_force(
+            self._def.energy_force_torque,
+            dense, jb, spec, tbl["params"], tbl["r_cut"], self.mode,
         )

@@ -1,4 +1,4 @@
-from . import binning, evaluators, neighbor
+from . import binning, dense, evaluators, neighbor  # noqa: F401
 from .aniso_force import aniso_pair_force
 from .bond_force import bond_force
 from .pair_force import ForceResult, dpd_pair_force, pair_force

@@ -51,6 +51,7 @@ def shard_state(state, mesh: Mesh, axis: str = "d"):
 
     return state.replace(
         position=place(state.position, sharded),
+        tag=place(state.tag, sharded),
         velocity=place(state.velocity, sharded),
         typeid=place(state.typeid, sharded),
         image=place(state.image, sharded),

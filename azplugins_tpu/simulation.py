@@ -1,18 +1,21 @@
 """Simulation: compiles the whole timestep into one jitted loop.
 
 TPU rebuild of the HOOMD ``Simulation``/``System`` loop the reference
-plugs into (SURVEY §3.2). The per-step sequence matches the reference
-exactly — methods.step1 -> neighbor check/rebuild -> force computes ->
-methods.step2 -> triggered updaters — but instead of dispatching dozens of
-kernels per step from C++, the entire chunk of steps is one
-``lax.fori_loop`` inside one ``jax.jit``, with neighbor rebuilds gated by
-``lax.cond`` on the Verlet-buffer displacement check.
+plugs into (SURVEY §3.2). The per-step sequence matches the reference —
+methods.step1 -> neighbor check/rebuild -> force computes -> methods.step2
+-> triggered updaters — but the entire chunk of steps is one
+``lax.fori_loop`` inside one ``jax.jit``.
 
-Capacity overflow (cell or neighbor) cannot resize under jit, so chunks are
-transactional: the host inspects overflow flags after each chunk and, on
-overflow, grows capacities, recompiles, and replays the chunk from the
-saved state. This replaces HOOMD's host-side reallocation loop
-(src/ParticleEvaporator.cc:81-91 uses the same grow-and-retry idea).
+Execution layout: the hot loop runs in the *dense cell-grid* layout
+(ops/dense.py) — particles sorted into cell slots, stencil neighbors read
+by rolls, rebinning gated by ``lax.cond`` on the Verlet-buffer check. The
+user-facing tag-ordered State is materialized lazily (once per run/
+observable access), so layout conversions never sit on the step path.
+
+Capacity overflow cannot resize under jit, so chunks are transactional:
+the host inspects the overflow flag after each chunk and, on overflow,
+grows the slot capacity, recompiles, and replays the chunk from the saved
+state (the grow-and-retry idea of src/ParticleEvaporator.cc:81-91).
 """
 
 from __future__ import annotations
@@ -24,7 +27,8 @@ import numpy as np
 from .core.snapshot import Snapshot
 from .core.state import State, state_from_snapshot, state_to_snapshot, thermalize_momenta
 from .md.force import SimContext
-from .ops.neighbor import NeighborSpec, build_neighbor_list, needs_rebuild
+from .ops import dense as D
+from .ops.pair_force import ForceResult
 
 __all__ = ["Simulation", "Operations"]
 
@@ -60,14 +64,14 @@ class Operations:
 
 
 class _StateView:
-    """hoomd-like ``sim.state`` accessor."""
+    """hoomd-like ``sim.state`` accessor (always tag-ordered)."""
 
     def __init__(self, sim: "Simulation"):
         self._sim = sim
 
     @property
     def N_particles(self) -> int:
-        return self._sim._state.N
+        return self._sim._synced_state().N
 
     @property
     def particle_types(self) -> list[str]:
@@ -79,11 +83,11 @@ class _StateView:
 
     @property
     def box(self):
-        return self._sim._state.box
+        return self._sim._synced_state().box
 
     def get_snapshot(self) -> Snapshot:
         return state_to_snapshot(
-            self._sim._state, self._sim._particle_types, self._sim._bond_types
+            self._sim._synced_state(), self._sim._particle_types, self._sim._bond_types
         )
 
     def set_snapshot(self, snapshot: Snapshot):
@@ -91,12 +95,13 @@ class _StateView:
 
     def thermalize_particle_momenta(self, filter=None, kT: float = 1.0):
         sim = self._sim
+        state = sim._synced_state()
         mask = None
         if filter is not None:
-            typeids = np.asarray(sim._state.typeid)
+            typeids = np.asarray(state.typeid)
             mask = jnp.asarray(filter.mask(typeids, sim._particle_types))
-        sim._state = thermalize_momenta(sim._state, kT, sim.seed, mask)
-        sim._invalidate()
+        sim._state = thermalize_momenta(state, kT, sim.seed, mask)
+        sim._drop_dense()
 
 
 class Simulation:
@@ -106,15 +111,16 @@ class Simulation:
         self.device = device
         self.seed = int(seed) & 0xFFFF
         self.operations = Operations()
-        self._state: State | None = None
+        self._state: State | None = None  # tag order (may be stale vs dense)
         self._particle_types: list[str] = []
         self._bond_types: list[str] = []
         self._timestep = 0
         self._attached = False
         self._prepared = False
-        self._cells = []  # Cell objects in attach order
-        self._specs = []  # NeighborSpec per cell
-        self._nlds = None  # tuple of NeighborListData
+        self._grid_spec: D.GridSpec | None = None
+        self._dense: State | None = None  # slot order
+        self._meta: D.GridMeta | None = None
+        self._state_stale = False
         self._run_chunk = None
         self.max_chunk = 1000
 
@@ -126,7 +132,26 @@ class Simulation:
 
     def _set_snapshot(self, snapshot: Snapshot):
         self._state, self._particle_types, self._bond_types = state_from_snapshot(snapshot)
+        self._drop_dense()
         self._invalidate()
+
+    def _drop_dense(self):
+        self._dense = None
+        self._meta = None
+        self._state_stale = False
+        self._prepared = False
+
+    def _synced_state(self) -> State:
+        if self._state is None:
+            raise RuntimeError("no state; call create_state_from_snapshot first")
+        if self._state_stale and self._dense is not None:
+            if self._grid_spec is None:
+                self._state = self._dense
+            else:
+                undens = jax.jit(D.undensify, static_argnames="N")
+                self._state = undens(self._dense, N=self._state.N)
+            self._state_stale = False
+        return self._state
 
     @property
     def state(self) -> _StateView:
@@ -145,10 +170,13 @@ class Simulation:
     def _invalidate(self):
         self._attached = False
         self._prepared = False
-        self._nlds = None
         self._run_chunk = None
 
     # -- attach ------------------------------------------------------------
+    def _forces(self):
+        integ = self.operations.integrator
+        return integ.forces if integ is not None else []
+
     def _attach(self):
         if self._state is None:
             raise RuntimeError("no state; call create_state_from_snapshot first")
@@ -160,21 +188,31 @@ class Simulation:
         for c in self.operations.computes:
             c._attach(self)
 
-        # group nlist-consuming forces by their Cell object
-        self._cells = []
-        cell_rcut: dict[int, float] = {}
-        forces = integ.forces if integ is not None else []
-        for f in forces:
+        # one master grid sized by the largest pair cutoff + largest buffer
+        r_cut = 0.0
+        buffer = 0.0
+        has_pair = False
+        for f in self._forces():
             if getattr(f, "_needs_nlist", False):
-                cell = f.nlist
-                if cell not in self._cells:
-                    self._cells.append(cell)
-                i = self._cells.index(cell)
-                cell_rcut[i] = max(cell_rcut.get(i, 0.0), f._max_r_cut())
-        self._specs = [
-            NeighborSpec.create(self._state.box, self._state.N, cell_rcut[i], c.buffer)
-            for i, c in enumerate(self._cells)
-        ]
+                has_pair = True
+                r_cut = max(r_cut, f._max_r_cut())
+                buffer = max(buffer, f.nlist.buffer)
+        if has_pair:
+            new_spec = D.GridSpec.create(
+                self._synced_state().box, self._state.N, r_cut, buffer
+            )
+            if self._grid_spec is None or (
+                new_spec.dims != self._grid_spec.dims
+                or new_spec.r_cut != self._grid_spec.r_cut
+                or new_spec.buffer != self._grid_spec.buffer
+                or new_spec.cap > self._grid_spec.cap
+            ):
+                self._grid_spec = new_spec
+                self._drop_dense()
+        else:
+            if self._grid_spec is not None:
+                self._drop_dense()
+            self._grid_spec = None
         self._build_runner()
         self._attached = True
         self._prepared = False
@@ -184,117 +222,124 @@ class Simulation:
         dt = integ.dt if integ is not None else 0.0
         return SimContext(dt=dt, seed=self.seed)
 
-    def _force_nlist_index(self, force) -> int | None:
-        if getattr(force, "_needs_nlist", False):
-            return self._cells.index(force.nlist)
-        return None
-
     def _build_runner(self):
         integ = self.operations.integrator
         methods = integ.methods if integ is not None else []
-        forces = integ.forces if integ is not None else []
+        forces = self._forces()
         updaters = list(self.operations.updaters)
-        specs = list(self._specs)
+        spec = self._grid_spec
         dt = integ.dt if integ is not None else 0.0
         seed = self.seed
         ctx = self._ctx()
-        force_cell = [self._force_nlist_index(f) for f in forces]
-        N = self._state.N
+        need_vel = any(getattr(f, "_needs_velocity_j", False) for f in forces)
+        need_tag = any(getattr(f, "_needs_tag_j", False) for f in forces)
+        need_quat = any(getattr(f, "_needs_quat_j", False) for f in forces)
+        any_pair = any(getattr(f, "_needs_nlist", False) for f in forces)
+        N_tags = self._state.N
 
-        def compute_net(state, nlds, t, tbls):
-            net = jnp.zeros((N, 3), jnp.float32)
-            for f, ci, tbl in zip(forces, force_cell, tbls):
-                idx = nlds[ci].idx if ci is not None else None
-                net = net + f._compute(state, idx, t, ctx, tbl).force
+        def compute_all(dense, slot_of, t, tbls):
+            jb = (
+                D.make_jblocks(dense, spec, need_vel, need_tag, need_quat)
+                if (spec is not None and any_pair)
+                else None
+            )
+            results = []
+            for f, tbl in zip(forces, tbls):
+                results.append(f._compute_dense(dense, jb, spec, slot_of, t, ctx, tbl))
+            return results
+
+        def compute_net(dense, slot_of, t, tbls):
+            net = jnp.zeros((dense.position.shape[0], 3), jnp.float32)
+            for r in compute_all(dense, slot_of, t, tbls):
+                net = net + r.force
             return net
 
-        def refresh_nlists(state, nlds):
-            out = []
-            for nld, spec in zip(nlds, specs):
-                rebuild = needs_rebuild(nld, state.position, state.box, spec.buffer)
-
-                def do_build(nld=nld, spec=spec):
-                    fresh = build_neighbor_list(state.position, state.box, spec)
-                    return fresh.replace(
-                        cell_overflow=fresh.cell_overflow | nld.cell_overflow,
-                        nlist_overflow=fresh.nlist_overflow | nld.nlist_overflow,
-                        n_builds=nld.n_builds + 1,
-                    )
-
-                out.append(jax.lax.cond(rebuild, do_build, lambda nld=nld: nld))
-            return tuple(out)
-
-        def one_step(state, nlds, t, tbls):
+        def one_step(dense, meta, t, tbls):
             for m in methods:
-                state = m.step1(state, dt, t, seed)
-            nlds = refresh_nlists(state, nlds)
-            net = compute_net(state, nlds, t, tbls)
-            state = state.replace(net_force=net)
-            for m in methods:
-                state = m.step2(state, dt, t, seed)
-            for u in updaters:
-                state = jax.lax.cond(
-                    u.trigger(t), lambda s: u._update(s, t, seed), lambda s: s, state
+                dense = m.step1(dense, dt, t, seed)
+            if spec is not None:
+                dense, meta = jax.lax.cond(
+                    D.needs_rebin(dense, meta, spec),
+                    lambda args: D.rebin(args[0], args[1], spec, N_tags),
+                    lambda args: args,
+                    (dense, meta),
                 )
-            return state, nlds
+                slot_of = meta.slot_of
+            else:
+                slot_of = None
+            net = compute_net(dense, slot_of, t, tbls)
+            dense = dense.replace(net_force=net)
+            for m in methods:
+                dense = m.step2(dense, dt, t, seed)
+            for u in updaters:
+                dense = jax.lax.cond(
+                    u.trigger(t), lambda s: u._update(s, t, seed), lambda s: s, dense
+                )
+            return dense, meta
 
-        def run_chunk(state, nlds, t0, n_steps, tbls):
+        def run_chunk(dense, meta, t0, n_steps, tbls):
             def body(i, carry):
-                state, nlds = carry
-                return one_step(state, nlds, t0 + i, tbls)
+                d, mt = carry
+                return one_step(d, mt, t0 + i, tbls)
 
-            return jax.lax.fori_loop(0, n_steps, body, (state, nlds))
+            return jax.lax.fori_loop(0, n_steps, body, (dense, meta))
 
         self._run_chunk_impl = run_chunk
         self._run_chunk = jax.jit(run_chunk)
         self._compute_net = compute_net
+        self._compute_all = compute_all
 
-    # -- neighbor list management -------------------------------------------
-    def _build_nlists(self):
-        self._nlds = tuple(
-            build_neighbor_list(self._state.position, self._state.box, spec)
-            for spec in self._specs
+    # -- dense layout management ---------------------------------------------
+    def _identity_meta(self, state: State) -> D.GridMeta:
+        n = state.N
+        return D.GridMeta(
+            ref_position=state.position,
+            slot_of=jnp.arange(n, dtype=jnp.int32),
+            overflow=jnp.asarray(False),
+            n_builds=jnp.int32(0),
         )
-        self._check_grow_capacity(rebuild_lists=True)
 
-    def _overflowed(self, nlds) -> tuple[bool, bool]:
-        cell = any(bool(n.cell_overflow) for n in nlds)
-        nmax = any(bool(n.nlist_overflow) for n in nlds)
-        return cell, nmax
+    def _ensure_dense(self):
+        if self._dense is not None:
+            return
+        state = self._synced_state()
+        if self._grid_spec is None:
+            self._dense = state
+            self._meta = self._identity_meta(state)
+            return
+        self._dense, self._meta = jax.jit(D.densify, static_argnames="spec")(
+            state, spec=self._grid_spec
+        )
+        if bool(self._meta.overflow):
+            self._grow_and_rebuild()
 
-    def _check_grow_capacity(self, rebuild_lists: bool) -> bool:
-        """Grow capacities if the current lists overflowed. True if grown."""
-        grown = False
-        new_specs = []
-        for nld, spec in zip(self._nlds, self._specs):
-            c = bool(nld.cell_overflow)
-            m = bool(nld.nlist_overflow)
-            if c or m:
-                spec = spec.grow(c, m)
-                grown = True
-            new_specs.append(spec)
-        if grown:
-            self._specs = new_specs
+    def _grow_and_rebuild(self):
+        """Grow slot capacity until the current configuration fits."""
+        state = self._synced_state()
+        for _ in range(8):
+            self._grid_spec = self._grid_spec.grow()
             self._build_runner()
-            if rebuild_lists:
-                self._build_nlists()
-        return grown
+            self._dense, self._meta = jax.jit(D.densify, static_argnames="spec")(
+                state, spec=self._grid_spec
+            )
+            if not bool(self._meta.overflow):
+                return
+        raise RuntimeError("cell capacity growth did not converge")
 
     def _force_tables(self):
-        integ = self.operations.integrator
-        forces = integ.forces if integ is not None else []
-        for f in forces:
+        for f in self._forces():
             f._refresh_tables(self)
-        return tuple(f._device_tables() for f in forces)
+        return tuple(f._device_tables() for f in self._forces())
 
     def _prepare(self):
         """Compute initial forces/accelerations (HOOMD's pre-run prep)."""
-        if self._nlds is None:
-            self._build_nlists()
-        ctx_t = jnp.int32(self._timestep)
-        net = jax.jit(self._compute_net)(self._state, self._nlds, ctx_t, self._force_tables())
-        accel = net / self._state.mass[:, None]
-        self._state = self._state.replace(net_force=net, acceleration=accel)
+        self._ensure_dense()
+        t = jnp.int32(self._timestep)
+        slot_of = self._meta.slot_of if self._grid_spec is not None else None
+        net = jax.jit(self._compute_net)(self._dense, slot_of, t, self._force_tables())
+        accel = net / self._dense.mass[:, None]
+        self._dense = self._dense.replace(net_force=net, acceleration=accel)
+        self._state_stale = True
         self._prepared = True
 
     # -- running -------------------------------------------------------------
@@ -308,35 +353,59 @@ class Simulation:
         tbls = self._force_tables()
         while remaining > 0:
             chunk = min(remaining, self.max_chunk)
-            backup_state, backup_nlds = self._state, self._nlds
+            backup_dense, backup_meta = self._dense, self._meta
             t0 = jnp.int32(self._timestep)
-            state, nlds = self._run_chunk(backup_state, backup_nlds, t0, jnp.int32(chunk), tbls)
-            cell_of, nmax_of = self._overflowed(nlds)
-            if cell_of or nmax_of:
+            dense, meta = self._run_chunk(
+                backup_dense, backup_meta, t0, jnp.int32(chunk), tbls
+            )
+            if self._grid_spec is not None and bool(meta.overflow):
                 # transactional replay with grown capacity
-                self._nlds = nlds
-                self._specs = [
-                    s.grow(cell_of, nmax_of) for s in self._specs
-                ]
-                self._build_runner()
-                self._state = backup_state
-                self._build_nlists()
+                self._dense, self._meta = backup_dense, backup_meta
+                self._state_stale = True
+                self._synced_state()
+                self._grow_and_rebuild()
+                tbls = self._force_tables()
                 continue
-            self._state, self._nlds = state, nlds
+            self._dense, self._meta = dense, meta
+            self._state_stale = True
             self._timestep += chunk
             remaining -= chunk
-        # block so exceptions/timing surface here
-        jax.block_until_ready(self._state.position)
+        jax.block_until_ready(self._dense.position)
 
     # -- observables -----------------------------------------------------------
-    def _compute_single_force(self, force):
+    def _compute_single_force(self, force) -> ForceResult:
         if not self._attached:
             self._attach()
-        if self._nlds is None:
-            self._build_nlists()
-        ci = self._force_nlist_index(force)
-        idx = self._nlds[ci].idx if ci is not None else None
-        ctx = self._ctx()
-        force._refresh_tables(self)
-        fn = jax.jit(lambda s, i, t, tbl: force._compute(s, i, t, ctx, tbl))
-        return fn(self._state, idx, jnp.int32(self._timestep), force._device_tables())
+        if not self._prepared:
+            self._prepare()
+        forces = self._forces()
+        i = forces.index(force)
+        tbls = self._force_tables()
+        slot_of = self._meta.slot_of if self._grid_spec is not None else None
+        N = self._state.N
+        tag_order = self._grid_spec is None
+
+        def calc(dense, slot_of, t, tbls):
+            r = self._compute_all(dense, slot_of, t, tbls)[i]
+            if tag_order:
+                return r
+            # map slot-order result back to tag order
+            dest = jnp.where(dense.tag >= 0, dense.tag, N)
+
+            def back(x):
+                if x is None:
+                    return None
+                if x.ndim == 1:
+                    return jnp.zeros((N + 1,), x.dtype).at[dest].set(x, mode="drop")[:N]
+                return jnp.zeros((N + 1, x.shape[1]), x.dtype).at[dest].set(
+                    x, mode="drop"
+                )[:N]
+
+            return ForceResult(
+                force=back(r.force),
+                energy=back(r.energy),
+                virial=back(r.virial),
+                torque=back(r.torque),
+            )
+
+        return jax.jit(calc)(self._dense, slot_of, jnp.int32(self._timestep), tbls)

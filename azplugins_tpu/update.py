@@ -62,8 +62,8 @@ class TypeUpdater(Updater):
             raise ValueError("inside and outside types must differ")
         self._inside_id = types.index(self.inside_type)
         self._outside_id = types.index(self.outside_type)
-        box_lo = float(np.asarray(sim._state.box.lo)[2])
-        box_hi = float(np.asarray(sim._state.box.hi)[2])
+        box_lo = float(np.asarray(sim._synced_state().box.lo)[2])
+        box_hi = float(np.asarray(sim._synced_state().box.hi)[2])
         if self.lo < box_lo or self.hi > box_hi:
             raise ValueError("region must lie inside the global box")
         super()._attach(sim)
@@ -112,8 +112,8 @@ class ParticleEvaporator(Updater):
             raise ValueError("solvent and evaporated types must differ")
         self._solvent_id = types.index(self.solvent_type)
         self._evaporated_id = types.index(self.evaporated_type)
-        box_lo = float(np.asarray(sim._state.box.lo)[2])
-        box_hi = float(np.asarray(sim._state.box.hi)[2])
+        box_lo = float(np.asarray(sim._synced_state().box.lo)[2])
+        box_hi = float(np.asarray(sim._synced_state().box.hi)[2])
         if self.lo < box_lo or self.hi > box_hi:
             raise ValueError("region must lie inside the global box")
         self._k = min(self.N_evap_max, int(sim._state.N))

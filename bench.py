@@ -46,22 +46,40 @@ def build_sim(N_side=40, rho=0.85, seed=12345):
     return sim, lj
 
 
-def time_force_kernel(sim, lj, iters=20):
-    """Isolated force-kernel latency (pair force over the neighbor list)."""
+def time_force_kernel(sim, lj, iters=50):
+    """Isolated force-kernel latency (dense stencil pair force).
+
+    Measured with an on-device fori_loop: through the remote TPU relay,
+    per-call timing round-trips arguments and block_until_ready acks early.
+    """
     import jax
     import jax.numpy as jnp
 
     ctx = sim._ctx()
     tbl = lj._device_tables()
-    idx = sim._nlds[0].idx
-    fn = jax.jit(lambda s, i, t, tb: lj._compute(s, i, t, ctx, tb).force)
-    out = fn(sim._state, idx, jnp.int32(0), tbl)
-    jax.block_until_ready(out)
+    spec = sim._grid_spec
+    from azplugins_tpu.ops import dense as D
+
+    @jax.jit
+    def loop(dense):
+        def body(i, d):
+            jb = D.make_jblocks(d, spec)
+            r = lj._compute_dense(d, jb, spec, None, jnp.int32(i), ctx, tbl)
+            return d.replace(net_force=r.force)
+
+        return jax.lax.fori_loop(0, iters, body, dense)
+
+    out = loop(sim._dense)
+    jax.block_until_ready(out.position)
     t0 = time.perf_counter()
-    for _ in range(iters):
-        out = fn(sim._state, idx, jnp.int32(0), tbl)
-    jax.block_until_ready(out)
+    out = loop(sim._dense)
+    jax.block_until_ready(out.position)
+    np.asarray(out.net_force[0])
     return (time.perf_counter() - t0) / iters * 1e3
+
+
+def _stage(msg):
+    print(f"[bench] {msg}", file=sys.stderr, flush=True)
 
 
 def main():
@@ -69,16 +87,22 @@ def main():
     steps = int(os.environ.get("BENCH_STEPS", "1000"))
     n_side = int(os.environ.get("BENCH_NSIDE", "40"))
 
+    t0 = time.perf_counter()
     sim, lj = build_sim(N_side=n_side)
+    _stage(f"built sim N={n_side**3} in {time.perf_counter()-t0:.1f}s")
+    t0 = time.perf_counter()
     sim.run(warm_steps)  # compile + equilibrate + settle capacities
+    _stage(f"warmup {warm_steps} steps in {time.perf_counter()-t0:.1f}s")
 
     t0 = time.perf_counter()
     sim.run(steps)
     elapsed = time.perf_counter() - t0
     tps = steps / elapsed
+    _stage(f"timed {steps} steps in {elapsed:.1f}s")
 
     kernel_ms = time_force_kernel(sim, lj)
-    n_builds = int(sim._nlds[0].n_builds)
+    _stage("kernel timed")
+    n_builds = int(sim._meta.n_builds)
 
     # physics sanity so the number is honest: temperature near target
     import azplugins_tpu as az
@@ -94,7 +118,7 @@ def main():
         "unit": "steps/s",
         "vs_baseline": round(tps / H100_HOOMD_TPS_ESTIMATE, 3),
         "extra": {
-            "N": sim._state.N,
+            "N": sim._synced_state().N,
             "force_kernel_ms": round(kernel_ms, 3),
             "ms_per_step": round(1e3 / tps, 3),
             "nlist_rebuilds": n_builds,

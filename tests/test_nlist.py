@@ -104,5 +104,5 @@ def test_capacity_growth_recovers():
     integ = az.md.Integrator(dt=0.001, methods=[az.md.methods.ConstantVolume()], forces=[pot])
     sim.operations.integrator = integ
     sim.run(2)
-    # after run, neighbor data must not be in overflow state
-    assert all(not bool(n.overflow) for n in sim._nlds)
+    # after run, the grid must not be in overflow state
+    assert not bool(sim._meta.overflow)

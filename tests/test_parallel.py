@@ -44,22 +44,33 @@ def _build(seed=3):
 
 
 def test_sharded_step_matches_single_device():
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
     sim = _build()
     t0 = jnp.int32(0)
     n = jnp.int32(10)
     tbls = sim._force_tables()
 
-    ref_state, _ = jax.jit(sim._run_chunk_impl)(sim._state, sim._nlds, t0, n, tbls)
+    ref_dense, _ = jax.jit(sim._run_chunk_impl)(sim._dense, sim._meta, t0, n, tbls)
 
-    mesh = make_mesh(8)
-    state_sh = shard_state(sim._state, mesh)
-    out_state, _ = jax.jit(sim._run_chunk_impl)(state_sh, sim._nlds, t0, n, tbls)
+    S = sim._dense.position.shape[0]
+    ndev = 8 if S % 8 == 0 else (4 if S % 4 == 0 else 2)
+    assert S % ndev == 0, f"slot count {S} awkward for mesh"
+    mesh = make_mesh(ndev)
+    dense_sh = shard_state(sim._dense, mesh)
+    meta_sh = sim._meta.replace(
+        ref_position=jax.device_put(
+            sim._meta.ref_position, NamedSharding(mesh, P("d"))
+        ),
+        slot_of=jax.device_put(sim._meta.slot_of, NamedSharding(mesh, P())),
+    )
+    out_dense, _ = jax.jit(sim._run_chunk_impl)(dense_sh, meta_sh, t0, n, tbls)
 
     np.testing.assert_allclose(
-        np.asarray(ref_state.position), np.asarray(out_state.position), atol=2e-5
+        np.asarray(ref_dense.position), np.asarray(out_dense.position), atol=2e-5
     )
     np.testing.assert_allclose(
-        np.asarray(ref_state.velocity), np.asarray(out_state.velocity), atol=2e-5
+        np.asarray(ref_dense.velocity), np.asarray(out_dense.velocity), atol=2e-5
     )
 
 
