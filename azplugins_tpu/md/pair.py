@@ -85,7 +85,7 @@ class Pair(Force):
             self.mode,
         )
 
-    def _compute_dense(self, dense, jb, spec, slot_of, timestep, ctx, tbl):
+    def _compute_dense(self, dense, jb, spec, slot_of, timestep, ctx, tbl, want="all"):
         return dense_pair_force(
             self._def.energy_force,
             dense,
@@ -95,6 +95,7 @@ class Pair(Force):
             tbl["r_cut"],
             tbl["r_on"],
             self.mode,
+            want,
         )
 
 
@@ -175,11 +176,11 @@ class DPDGeneralWeight(Pair):
             timestep,
         )
 
-    def _compute_dense(self, dense, jb, spec, slot_of, timestep, ctx, tbl):
+    def _compute_dense(self, dense, jb, spec, slot_of, timestep, ctx, tbl, want="all"):
         kT = self.kT(timestep)
         return dense_dpd_force(
             dense, jb, spec, tbl["params"], tbl["r_cut"],
-            kT, ctx.dt, ctx.seed, timestep,
+            kT, ctx.dt, ctx.seed, timestep, want,
         )
 
 
@@ -232,8 +233,8 @@ class TwoPatchMorse(Force):
             self.mode,
         )
 
-    def _compute_dense(self, dense, jb, spec, slot_of, timestep, ctx, tbl):
+    def _compute_dense(self, dense, jb, spec, slot_of, timestep, ctx, tbl, want="all"):
         return dense_aniso_force(
             self._def.energy_force_torque,
-            dense, jb, spec, tbl["params"], tbl["r_cut"], self.mode,
+            dense, jb, spec, tbl["params"], tbl["r_cut"], self.mode, want,
         )

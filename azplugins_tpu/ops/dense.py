@@ -94,22 +94,49 @@ class GridSpec:
         out = [(ox, oy, oz) for ox in offs[0] for oy in offs[1] for oz in offs[2]]
         return np.asarray(out, dtype=np.int32)
 
+    @property
+    def newton_ok(self) -> bool:
+        """Half-stencil (Newton's third law) is valid only when every axis
+        has >= 3 cells: with 1 or 2 cells an offset and its negative alias
+        to the same cell pairing, which would double-count pairs."""
+        return all(D >= 3 for D in self.dims)
+
+    def half_stencil(self) -> np.ndarray:
+        """The 13 lexicographically-positive offsets (self cell excluded).
+
+        Each unordered neighbor-cell pair appears exactly once: pairs are
+        evaluated once and scattered to both members (Newton's third law),
+        halving pair evaluations vs the full 27-cell stencil.
+        """
+        full = self.stencil()
+        keep = [o for o in full if tuple(o) > (0, 0, 0)]
+        return np.asarray(keep, dtype=np.int32)
+
     @classmethod
-    def create(cls, box: Box, N: int, r_cut: float, buffer: float, safety: float = 1.25):
+    def create(cls, box: Box, N: int, r_cut: float, buffer: float, safety: float = 1.18):
+        """Size the grid. Pair work scales with cap^2, so the capacity is
+        chosen tight: in a dense liquid, repulsion anti-correlates occupancy
+        (measured max 45 at mean 37 for 64k LJ at rho=0.85), far below the
+        Poisson tail. Transient overflow is handled by the transactional
+        grow-and-replay in Simulation.run, so a rare miss costs one
+        recompile, not correctness."""
         L = np.asarray(box.L)
         r_list = r_cut + buffer
         dims = tuple(int(max(1, math.floor(l / r_list))) for l in L)
         n_cells = dims[0] * dims[1] * dims[2]
         mean_occ = N / n_cells
-        want = mean_occ * safety + 3.0 * math.sqrt(max(mean_occ, 1.0)) + 2.0
+        want = mean_occ * safety + 4.0
         cap = int(math.ceil(want / 8.0) * 8)
         cap = min(cap, N) if N > 0 else 8
         return cls(dims=dims, cap=max(cap, 1), r_cut=float(r_cut), buffer=float(buffer))
 
     def grow(self) -> "GridSpec":
+        # 1.25x (rounded up to 8) balances recompile count against the
+        # cap^2 cost of oversized cells
+        new_cap = int(math.ceil(self.cap * 1.25 / 8.0) * 8)
         return GridSpec(
             dims=self.dims,
-            cap=int(self.cap * 2),
+            cap=max(new_cap, self.cap + 8),
             r_cut=self.r_cut,
             buffer=self.buffer,
         )
@@ -243,8 +270,15 @@ def _bin_to_slots(state: State, spec: GridSpec, N_tags: int):
     packed_in = jnp.stack([cols[k] for k in names], axis=-1)  # [n, K]
     packed_sorted = jnp.take(packed_in, perm, axis=0)
 
-    first = jnp.searchsorted(cid_s, cid_s, side="left").astype(jnp.int32)
-    rank = jnp.arange(n, dtype=jnp.int32) - first
+    # rank-in-cell = index minus index-of-first-equal-key, via a running max
+    # of segment-start positions (searchsorted's binary search lowers to
+    # many strided 1-D gathers on TPU — measured ~20x slower than cummax)
+    iota = jnp.arange(n, dtype=jnp.int32)
+    change = jnp.concatenate(
+        [jnp.ones((1,), bool), cid_s[1:] != cid_s[:-1]]
+    )
+    first = jax.lax.cummax(jnp.where(change, iota, 0))
+    rank = iota - first
     valid_s = cid_s < spec.n_cells
     overflow = jnp.any(valid_s & (rank >= spec.cap))
     dest = jnp.where(
@@ -335,15 +369,16 @@ class JBlocks:
     qx: jnp.ndarray | None = None
     qy: jnp.ndarray | None = None
     qz: jnp.ndarray | None = None
+    half: bool = static_field(default=False)  # built from half_stencil()
 
 
-def _roll_concat(arr, spec: GridSpec):
+def _roll_concat(arr, spec: GridSpec, offsets: np.ndarray):
     """[S] -> [n_stencil, n_cells, cap]: occupants of every stencil cell."""
     Dx, Dy, Dz = spec.dims
     g = arr.reshape(Dx, Dy, Dz, spec.cap)
     blocks = [
         jnp.roll(g, shift=(-int(o[0]), -int(o[1]), -int(o[2])), axis=(0, 1, 2))
-        for o in spec.stencil()
+        for o in offsets
     ]
     return jnp.stack(blocks, axis=0).reshape(len(blocks), spec.n_cells, spec.cap)
 
@@ -354,26 +389,29 @@ def make_jblocks(
     need_velocity: bool = False,
     need_tag: bool = False,
     need_quat: bool = False,
+    half: bool = False,
 ) -> JBlocks:
+    offsets = spec.half_stencil() if half else spec.stencil()
     slot_ids = jnp.arange(spec.S, dtype=jnp.int32)
     kw = dict(
-        x=_roll_concat(dense.position[:, 0], spec),
-        y=_roll_concat(dense.position[:, 1], spec),
-        z=_roll_concat(dense.position[:, 2], spec),
-        slot=_roll_concat(slot_ids, spec),
-        typeid=_roll_concat(dense.typeid, spec),
+        x=_roll_concat(dense.position[:, 0], spec, offsets),
+        y=_roll_concat(dense.position[:, 1], spec, offsets),
+        z=_roll_concat(dense.position[:, 2], spec, offsets),
+        slot=_roll_concat(slot_ids, spec, offsets),
+        typeid=_roll_concat(dense.typeid, spec, offsets),
+        half=half,
     )
     if need_tag:
-        kw["tag"] = _roll_concat(dense.tag, spec)
+        kw["tag"] = _roll_concat(dense.tag, spec, offsets)
     if need_velocity:
-        kw["vx"] = _roll_concat(dense.velocity[:, 0], spec)
-        kw["vy"] = _roll_concat(dense.velocity[:, 1], spec)
-        kw["vz"] = _roll_concat(dense.velocity[:, 2], spec)
+        kw["vx"] = _roll_concat(dense.velocity[:, 0], spec, offsets)
+        kw["vy"] = _roll_concat(dense.velocity[:, 1], spec, offsets)
+        kw["vz"] = _roll_concat(dense.velocity[:, 2], spec, offsets)
     if need_quat:
-        kw["qw"] = _roll_concat(dense.orientation[:, 0], spec)
-        kw["qx"] = _roll_concat(dense.orientation[:, 1], spec)
-        kw["qy"] = _roll_concat(dense.orientation[:, 2], spec)
-        kw["qz"] = _roll_concat(dense.orientation[:, 3], spec)
+        kw["qw"] = _roll_concat(dense.orientation[:, 0], spec, offsets)
+        kw["qx"] = _roll_concat(dense.orientation[:, 1], spec, offsets)
+        kw["qy"] = _roll_concat(dense.orientation[:, 2], spec, offsets)
+        kw["qz"] = _roll_concat(dense.orientation[:, 3], spec, offsets)
     return JBlocks(**kw)
 
 
@@ -443,35 +481,75 @@ def _scan_stencil(body, jb: JBlocks, spec: GridSpec, n_out: int, extra_keys=()):
     return carry
 
 
-def _pair_accumulate(carry, dx, dy, dz, e, f_divr, mask):
-    """Add one offset's masked contributions to (fx, fy, fz, en, v0..v5)."""
+def _n_acc(want: str) -> int:
+    """Number of i-side accumulators: force 3, +energy 1, +virial 6.
+
+    The hot loop requests ``want="force"``: energy/virial reductions over
+    the [C, cap, cap] pair tensors are ~2/3 of the reduction work and the
+    integrator never reads them (they are recomputed on demand by the
+    observable path). XLA cannot DCE them once they pass through the scan's
+    stacked outputs, so selection must happen at trace time.
+    """
+    return {"force": 3, "all": 10}[want]
+
+
+def _pair_accumulate(carry, dx, dy, dz, e, f_divr, mask, want="all"):
+    """Add one offset's masked contributions to (fx, fy, fz[, en, v0..v5])."""
     f_divr = jnp.where(mask, f_divr, 0.0)
-    e = jnp.where(mask, e, 0.0)
-    fx, fy, fz, en, v0, v1, v2, v3, v4, v5 = carry
-    w = 0.5 * f_divr
-    return (
-        fx + jnp.sum(f_divr * dx, axis=-1),
-        fy + jnp.sum(f_divr * dy, axis=-1),
-        fz + jnp.sum(f_divr * dz, axis=-1),
-        en + 0.5 * jnp.sum(e, axis=-1),
-        v0 + jnp.sum(w * dx * dx, axis=-1),
-        v1 + jnp.sum(w * dx * dy, axis=-1),
-        v2 + jnp.sum(w * dx * dz, axis=-1),
-        v3 + jnp.sum(w * dy * dy, axis=-1),
-        v4 + jnp.sum(w * dy * dz, axis=-1),
-        v5 + jnp.sum(w * dz * dz, axis=-1),
-    )
+    out = [
+        carry[0] + jnp.sum(f_divr * dx, axis=-1),
+        carry[1] + jnp.sum(f_divr * dy, axis=-1),
+        carry[2] + jnp.sum(f_divr * dz, axis=-1),
+    ]
+    if want == "all":
+        e = jnp.where(mask, e, 0.0)
+        w = 0.5 * f_divr
+        out += [
+            carry[3] + 0.5 * jnp.sum(e, axis=-1),
+            carry[4] + jnp.sum(w * dx * dx, axis=-1),
+            carry[5] + jnp.sum(w * dx * dy, axis=-1),
+            carry[6] + jnp.sum(w * dx * dz, axis=-1),
+            carry[7] + jnp.sum(w * dy * dy, axis=-1),
+            carry[8] + jnp.sum(w * dy * dz, axis=-1),
+            carry[9] + jnp.sum(w * dz * dz, axis=-1),
+        ]
+    return tuple(out)
 
 
 def _finish_pair(carry, S):
     from .pair_force import ForceResult
 
-    fx, fy, fz, en, v0, v1, v2, v3, v4, v5 = (a.reshape(S) for a in carry)
+    parts = tuple(a.reshape(S) for a in carry)
+    force = jnp.stack(parts[:3], axis=-1)
+    if len(parts) == 3:
+        return ForceResult(force=force, energy=None, virial=None)
     return ForceResult(
-        force=jnp.stack([fx, fy, fz], axis=-1),
-        energy=en,
-        virial=jnp.stack([v0, v1, v2, v3, v4, v5], axis=-1),
+        force=force,
+        energy=parts[3],
+        virial=jnp.stack(parts[4:10], axis=-1),
     )
+
+
+def _eval_pair_mode(
+    energy_force_fn, rsq_safe, rcut, rcutsq_safe, p, mode, r_on=None
+):
+    """Evaluate one pair batch with HOOMD shift-mode semantics."""
+    from .pair_force import _xplor_smooth
+
+    e, f = energy_force_fn(rsq_safe, rcutsq_safe, p)
+    if mode == "shift":
+        e_cut, _ = energy_force_fn(rcutsq_safe, rcutsq_safe, p)
+        e = e - e_cut
+    elif mode == "xplor":
+        r_onsq = r_on * r_on
+        smooth = r_on < rcut
+        e_s, f_s = _xplor_smooth(e, f, rsq_safe, rcutsq_safe, r_onsq)
+        e_cut, _ = energy_force_fn(rcutsq_safe, rcutsq_safe, p)
+        e = jnp.where(smooth, e_s, e - e_cut)
+        f = jnp.where(smooth, f_s, f)
+    elif mode != "none":
+        raise ValueError(f"unknown shift mode {mode!r}")
+    return e, f
 
 
 def dense_pair_force(
@@ -483,43 +561,117 @@ def dense_pair_force(
     r_cut_table,
     r_on_table=None,
     mode: str = "none",
+    want: str = "all",
 ):
     """Isotropic pair potential over the dense stencil. Returns ForceResult."""
-    from .pair_force import _xplor_smooth
-
     T = r_cut_table.shape[0]
     v, slot_i = _i_views(dense, spec)
     xi, yi, zi = v(dense.position[:, 0]), v(dense.position[:, 1]), v(dense.position[:, 2])
     t_i = v(dense.typeid)
     valid_i = v(dense.tag >= 0)
 
-    def body(carry, js):
-        dx, dy, dz, rsq, mask = _offset_geometry(dense, spec, xi, yi, zi, slot_i, valid_i, js)
-        t_j = js["typeid"][:, None, :]
+    def eval_batch(dx, dy, dz, rsq, mask, t_j):
         p = _pair_params(tables, t_i, t_j, T)
         rcut = _pair_params({"r": r_cut_table}, t_i, t_j, T)["r"]
         rcutsq = rcut * rcut
         mask = mask & (rsq < rcutsq) & (rcut > 0)
         rsq_safe = jnp.where(mask, rsq, 1.0)
         rcutsq_safe = jnp.where(rcut > 0, rcutsq, 4.0)
-        e, f = energy_force_fn(rsq_safe, rcutsq_safe, p)
-        if mode == "shift":
-            e_cut, _ = energy_force_fn(rcutsq_safe, rcutsq_safe, p)
-            e = e - e_cut
-        elif mode == "xplor":
-            r_on = _pair_params({"r": r_on_table}, t_i, t_j, T)["r"]
-            r_onsq = r_on * r_on
-            smooth = r_on < rcut
-            e_s, f_s = _xplor_smooth(e, f, rsq_safe, rcutsq_safe, r_onsq)
-            e_cut, _ = energy_force_fn(rcutsq_safe, rcutsq_safe, p)
-            e = jnp.where(smooth, e_s, e - e_cut)
-            f = jnp.where(smooth, f_s, f)
-        elif mode != "none":
-            raise ValueError(f"unknown shift mode {mode!r}")
-        return _pair_accumulate(carry, dx, dy, dz, e, f, mask)
+        r_on = (
+            _pair_params({"r": r_on_table}, t_i, t_j, T)["r"]
+            if mode == "xplor"
+            else None
+        )
+        e, f = _eval_pair_mode(
+            energy_force_fn, rsq_safe, rcut, rcutsq_safe, p, mode, r_on
+        )
+        return e, f, mask
 
-    carry = _scan_stencil(body, jb, spec, n_out=10)
-    return _finish_pair(carry, spec.S)
+    if not jb.half:
+        def body(carry, js):
+            dx, dy, dz, rsq, mask = _offset_geometry(
+                dense, spec, xi, yi, zi, slot_i, valid_i, js
+            )
+            e, f, mask = eval_batch(dx, dy, dz, rsq, mask, js["typeid"][:, None, :])
+            return _pair_accumulate(carry, dx, dy, dz, e, f, mask, want)
+
+        carry = _scan_stencil(body, jb, spec, n_out=_n_acc(want))
+        return _finish_pair(carry, spec.S)
+
+    # Newton half-stencil: each unordered pair is evaluated once and the
+    # force/energy/virial are scattered to both members (the j side in the
+    # rolled frame, un-rolled with the positive offset after the scan).
+    C, cap = spec.n_cells, spec.cap
+    Dx, Dy, Dz = spec.dims
+    offsets = spec.half_stencil()
+
+    def jside(e, f, mask, dx, dy, dz):
+        fm = jnp.where(mask, f, 0.0)
+        cols = [
+            -jnp.sum(fm * dx, axis=1),
+            -jnp.sum(fm * dy, axis=1),
+            -jnp.sum(fm * dz, axis=1),
+        ]
+        if want == "all":
+            em = jnp.where(mask, e, 0.0)
+            w = 0.5 * fm
+            cols += [
+                0.5 * jnp.sum(em, axis=1),
+                jnp.sum(w * dx * dx, axis=1),
+                jnp.sum(w * dx * dy, axis=1),
+                jnp.sum(w * dx * dz, axis=1),
+                jnp.sum(w * dy * dy, axis=1),
+                jnp.sum(w * dy * dz, axis=1),
+                jnp.sum(w * dz * dz, axis=1),
+            ]
+        return jnp.stack(cols, axis=-1)  # [C, cap, n_acc]
+
+    def body(carry, js):
+        jx, jy, jz, jtype = js["x"], js["y"], js["z"], js["typeid"]
+        dx = xi - jx[:, None, :]
+        dy = yi - jy[:, None, :]
+        dz = zi - jz[:, None, :]
+        dx, dy, dz = dense.box.min_image_components(dx, dy, dz)
+        rsq = dx * dx + dy * dy + dz * dz
+        mask = valid_i & (jtype >= 0)[:, None, :]
+        e, f, mask = eval_batch(dx, dy, dz, rsq, mask, jtype[:, None, :])
+        carry = _pair_accumulate(carry, dx, dy, dz, e, f, mask, want)
+        return carry, jside(e, f, mask, dx, dy, dz)
+
+    n_acc = _n_acc(want)
+    js_all = {"x": jb.x, "y": jb.y, "z": jb.z, "typeid": jb.typeid}
+    carry0 = tuple(jnp.zeros((C, cap), jnp.float32) for _ in range(n_acc))
+    carry, ys = jax.lax.scan(body, carry0, js_all)
+
+    # self-cell, strict upper triangle (i < j within the cell)
+    xj0 = dense.position[:, 0].reshape(C, 1, cap)
+    yj0 = dense.position[:, 1].reshape(C, 1, cap)
+    zj0 = dense.position[:, 2].reshape(C, 1, cap)
+    tj0 = dense.typeid.reshape(C, 1, cap)
+    validj0 = (dense.tag >= 0).reshape(C, 1, cap)
+    tri = (
+        jnp.arange(cap, dtype=jnp.int32)[None, None, :]
+        > jnp.arange(cap, dtype=jnp.int32)[None, :, None]
+    )
+    dx = xi - xj0
+    dy = yi - yj0
+    dz = zi - zj0
+    dx, dy, dz = dense.box.min_image_components(dx, dy, dz)
+    rsq = dx * dx + dy * dy + dz * dz
+    mask0 = valid_i & validj0 & tri
+    e, f, mask0 = eval_batch(dx, dy, dz, rsq, mask0, tj0)
+    carry = _pair_accumulate(carry, dx, dy, dz, e, f, mask0, want)
+    jacc = jside(e, f, mask0, dx, dy, dz)  # same-cell: no roll-back needed
+
+    # un-roll the per-offset j-side sums back to their true cells
+    g = ys.reshape(len(offsets), Dx, Dy, Dz, cap, n_acc)
+    for k, o in enumerate(offsets):
+        jacc = jacc + jnp.roll(
+            g[k], shift=(int(o[0]), int(o[1]), int(o[2])), axis=(0, 1, 2)
+        ).reshape(C, cap, n_acc)
+
+    total = tuple(carry[i] + jacc[..., i] for i in range(n_acc))
+    return _finish_pair(total, spec.S)
 
 
 def dense_dpd_force(
@@ -532,6 +684,7 @@ def dense_dpd_force(
     dt,
     seed: int,
     timestep,
+    want: str = "all",
 ):
     """DPD general-weight thermostat over the dense stencil.
 
@@ -540,6 +693,8 @@ def dense_dpd_force(
     tags so it is bitwise identical to the neighbor-list driver.
     """
     from .pair_force import ForceResult
+
+    assert not jb.half, "DPD kernel requires the full stencil"
 
     T = r_cut_table.shape[0]
     v, slot_i = _i_views(dense, spec)
@@ -584,13 +739,20 @@ def dense_dpd_force(
         f_rand = sigma_coeff * w_R * alpha
 
         f_total = f_cons + f_drag + f_rand
+        if want == "force":
+            return _pair_accumulate(carry, dx, dy, dz, e, f_total, mask, want)
         # first 10 slots: total force + energy + conservative virial;
         # conservative-only virial matches reference :239
         c_tot = _pair_accumulate(carry[:10], dx, dy, dz, e, f_total, mask)
         c_vir = _pair_accumulate(carry[10:], dx, dy, dz, e, f_cons, mask)
         return c_tot + c_vir
 
-    carry = _scan_stencil(body, jb, spec, n_out=20, extra_keys=("vx", "vy", "vz", "tag"))
+    n_out = 3 if want == "force" else 20
+    carry = _scan_stencil(
+        body, jb, spec, n_out=n_out, extra_keys=("vx", "vy", "vz", "tag")
+    )
+    if want == "force":
+        return _finish_pair(carry, spec.S)
     total = _finish_pair(carry[:10], spec.S)
     cons = _finish_pair(carry[10:], spec.S)
     return ForceResult(force=total.force, energy=total.energy, virial=cons.virial)
@@ -604,9 +766,16 @@ def dense_aniso_force(
     tables: dict,
     r_cut_table,
     mode: str = "none",
+    want: str = "all",
 ):
-    """Anisotropic pair potential (force + torque) over the dense stencil."""
+    """Anisotropic pair potential (force + torque) over the dense stencil.
+
+    ``want="force"`` keeps force AND torque (integrators with rotational
+    state read both) but drops energy/virial reductions.
+    """
     from .pair_force import ForceResult
+
+    assert not jb.half, "aniso kernel requires the full stencil"
 
     T = r_cut_table.shape[0]
     v, slot_i = _i_views(dense, spec)
@@ -634,31 +803,41 @@ def dense_aniso_force(
         def msum(val):
             return jnp.sum(jnp.where(mask, val, 0.0), axis=-1)
 
-        fx, fy, fz, en, tx, ty, tz, v0, v1, v2, v3, v4, v5 = carry
-        return (
-            fx + msum(f[0]),
-            fy + msum(f[1]),
-            fz + msum(f[2]),
-            en + 0.5 * msum(e),
-            tx + msum(ti[0]),
-            ty + msum(ti[1]),
-            tz + msum(ti[2]),
-            v0 + 0.5 * msum(dx * f[0]),
-            v1 + 0.5 * msum(dx * f[1]),
-            v2 + 0.5 * msum(dx * f[2]),
-            v3 + 0.5 * msum(dy * f[1]),
-            v4 + 0.5 * msum(dy * f[2]),
-            v5 + 0.5 * msum(dz * f[2]),
-        )
+        out = [
+            carry[0] + msum(f[0]),
+            carry[1] + msum(f[1]),
+            carry[2] + msum(f[2]),
+            carry[3] + msum(ti[0]),
+            carry[4] + msum(ti[1]),
+            carry[5] + msum(ti[2]),
+        ]
+        if want == "all":
+            out += [
+                carry[6] + 0.5 * msum(e),
+                carry[7] + 0.5 * msum(dx * f[0]),
+                carry[8] + 0.5 * msum(dx * f[1]),
+                carry[9] + 0.5 * msum(dx * f[2]),
+                carry[10] + 0.5 * msum(dy * f[1]),
+                carry[11] + 0.5 * msum(dy * f[2]),
+                carry[12] + 0.5 * msum(dz * f[2]),
+            ]
+        return tuple(out)
 
-    carry = _scan_stencil(body, jb, spec, n_out=13, extra_keys=("qw", "qx", "qy", "qz"))
+    n_out = 6 if want == "force" else 13
+    carry = _scan_stencil(
+        body, jb, spec, n_out=n_out, extra_keys=("qw", "qx", "qy", "qz")
+    )
     S = spec.S
-    fx, fy, fz, en, tx, ty, tz, v0, v1, v2, v3, v4, v5 = (a.reshape(S) for a in carry)
+    parts = tuple(a.reshape(S) for a in carry)
+    force = jnp.stack(parts[:3], axis=-1)
+    torque = jnp.stack(parts[3:6], axis=-1)
+    if want == "force":
+        return ForceResult(force=force, energy=None, virial=None, torque=torque)
     return ForceResult(
-        force=jnp.stack([fx, fy, fz], axis=-1),
-        energy=en,
-        virial=jnp.stack([v0, v1, v2, v3, v4, v5], axis=-1),
-        torque=jnp.stack([tx, ty, tz], axis=-1),
+        force=force,
+        energy=parts[6],
+        virial=jnp.stack(parts[7:13], axis=-1),
+        torque=torque,
     )
 
 

@@ -63,8 +63,12 @@ def time_force_kernel(sim, lj, iters=50):
     @jax.jit
     def loop(dense):
         def body(i, d):
-            jb = D.make_jblocks(d, spec)
-            r = lj._compute_dense(d, jb, spec, None, jnp.int32(i), ctx, tbl)
+            # nudge positions so XLA cannot hoist the loop-invariant kernel
+            d = d.replace(position=d.position + jnp.float32(1e-9) * i)
+            jb = D.make_jblocks(d, spec, half=spec.newton_ok)
+            r = lj._compute_dense(
+                d, jb, spec, None, jnp.int32(i), ctx, tbl, want="force"
+            )
             return d.replace(net_force=r.force)
 
         return jax.lax.fori_loop(0, iters, body, dense)
@@ -93,6 +97,9 @@ def main():
     t0 = time.perf_counter()
     sim.run(warm_steps)  # compile + equilibrate + settle capacities
     _stage(f"warmup {warm_steps} steps in {time.perf_counter()-t0:.1f}s")
+    sim.tune_cell_capacity()  # shrink transient overflow growth (one recompile)
+    sim.run(10)
+    _stage(f"tuned: cap={sim._grid_spec.cap} dims={sim._grid_spec.dims}")
 
     t0 = time.perf_counter()
     sim.run(steps)
