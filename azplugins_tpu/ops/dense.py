@@ -120,15 +120,23 @@ class GridSpec:
         Poisson tail. Transient overflow is handled by the transactional
         grow-and-replay in Simulation.run, so a rare miss costs one
         recompile, not correctness."""
-        L = np.asarray(box.L)
+        npd = np.asarray(box.nearest_plane_distance())
         r_list = r_cut + buffer
-        dims = tuple(int(max(1, math.floor(l / r_list))) for l in L)
+        dims = tuple(int(max(1, math.floor(l / r_list))) for l in npd)
+        # cells are at least r_list wide, usually wider (floor); claim the
+        # whole cell width as Verlet margin so rebuilds trigger as late as
+        # the stencil actually allows: pairs stay covered while
+        # 2*max_disp < min_edge - r_cut. Axes with <= 2 cells impose no
+        # constraint (the stencil sees the whole axis there).
+        edges = [npd[k] / dims[k] for k in range(3) if dims[k] >= 3]
+        min_edge = float(min(edges)) if edges else float("inf")
+        eff_buffer = max(float(buffer), min(min_edge - float(r_cut), 1e6))
         n_cells = dims[0] * dims[1] * dims[2]
         mean_occ = N / n_cells
         want = mean_occ * safety + 4.0
         cap = int(math.ceil(want / 8.0) * 8)
         cap = min(cap, N) if N > 0 else 8
-        return cls(dims=dims, cap=max(cap, 1), r_cut=float(r_cut), buffer=float(buffer))
+        return cls(dims=dims, cap=max(cap, 1), r_cut=float(r_cut), buffer=eff_buffer)
 
     def grow(self) -> "GridSpec":
         # 1.25x (rounded up to 8) balances recompile count against the

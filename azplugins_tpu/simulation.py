@@ -363,7 +363,7 @@ class Simulation:
             self._grow_and_rebuild()
 
     @staticmethod
-    def _max_occupancy_cap(state: State, spec: D.GridSpec, slack: int = 2) -> int:
+    def _max_occupancy_cap(state: State, spec: D.GridSpec, slack: int = 8) -> int:
         """Host-side exact max cell occupancy of a configuration -> cap."""
         pos = np.asarray(state.position)
         L = np.asarray(state.box.L)
@@ -377,7 +377,7 @@ class Simulation:
         max_occ = int(np.bincount(cid, minlength=spec.n_cells).max())
         return int(math.ceil((max_occ + slack) / 8.0) * 8)
 
-    def tune_cell_capacity(self, slack: int = 2):
+    def tune_cell_capacity(self, slack: int = 8):
         """Right-size the cell capacity to the *current* configuration.
 
         Pair work scales with cap^2, and transient overflow growth (e.g. a
