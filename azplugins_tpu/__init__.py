@@ -29,10 +29,11 @@ Quick start::
     sim.run(1000)
 """
 
-from . import compute, external, flow, md, ops, update
+from . import compute, external, flow, io, md, ops, update, write
 from .core import Box, Snapshot, State, variant
 from .md import bond, pair
 from .md import filter  # noqa: A004 - mirrors hoomd.filter
+from .md import trigger
 from .simulation import Operations, Simulation
 from .version import __version__
 
@@ -48,9 +49,12 @@ __all__ = [
     "external",
     "filter",
     "flow",
+    "io",
     "md",
     "ops",
     "pair",
+    "trigger",
     "update",
     "variant",
+    "write",
 ]

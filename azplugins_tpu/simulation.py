@@ -48,6 +48,7 @@ class Operations:
         from .compute import Compute
         from .md.force import Force
         from .update import Updater
+        from .write import Writer
 
         if isinstance(op, Force):
             if self.integrator is None:
@@ -57,6 +58,8 @@ class Operations:
             self.updaters.append(op)
         elif isinstance(op, Compute):
             self.computes.append(op)
+        elif isinstance(op, Writer):
+            self.writers.append(op)
         else:
             raise TypeError(f"cannot add {op!r}")
 
@@ -427,15 +430,26 @@ class Simulation:
 
     # -- running -------------------------------------------------------------
     def run(self, n_steps: int):
+        from .write import _fire_writers, _writer_next_fire
+
         n_steps = int(n_steps)
         if not self._attached:
             self._attach()
         if not self._prepared:
             self._prepare()
+        writers = list(self.operations.writers)
+        for w in writers:
+            w._attach(self)
         remaining = n_steps
         tbls = self._force_tables()
         while remaining > 0:
             chunk = min(remaining, self.max_chunk)
+            if writers:
+                # split the jitted chunk at the next writer trigger so the
+                # host syncs exactly once per fire
+                nw = _writer_next_fire(writers, self._timestep + 1)
+                if nw is not None and nw - self._timestep < chunk:
+                    chunk = nw - self._timestep
             backup_dense, backup_meta = self._dense, self._meta
             t0 = jnp.int32(self._timestep)
             dense, meta = self._run_chunk(
@@ -453,6 +467,8 @@ class Simulation:
             self._state_stale = True
             self._timestep += chunk
             remaining -= chunk
+            if writers:
+                _fire_writers(self, writers, self._timestep)
         jax.block_until_ready(self._dense.position)
 
     # -- observables -----------------------------------------------------------

@@ -1,0 +1,225 @@
+"""IO subsystem: aztraj container (native + python backends), writers,
+checkpoint/restart.
+
+Mirrors the role GSD plays for the reference (SURVEY §5); restart parity
+follows the reference's determinism discipline — counter-based RNG means a
+restarted run continues bitwise-identically.
+"""
+
+import numpy as np
+import pytest
+
+import azplugins_tpu as az
+from azplugins_tpu.io import (
+    TrajectoryReader,
+    TrajectoryWriter,
+    load_checkpoint,
+    native_available,
+    save_checkpoint,
+)
+from azplugins_tpu.io import aztraj as _aztraj
+
+
+def _frames():
+    rng = np.random.default_rng(3)
+    return [
+        (
+            10 * i,
+            {
+                "particles/position": rng.normal(size=(17, 3)).astype(np.float32),
+                "particles/typeid": rng.integers(0, 3, size=17).astype(np.int32),
+                "configuration/box": np.asarray([5, 5, 5, 0, 0, 0], np.float32),
+            },
+        )
+        for i in range(4)
+    ]
+
+
+def _roundtrip(tmp_path, name):
+    path = str(tmp_path / name)
+    frames = _frames()
+    with TrajectoryWriter(path) as w:
+        for ts, chunks in frames:
+            w.write_frame(ts, chunks)
+    with TrajectoryReader(path) as r:
+        assert len(r) == len(frames)
+        assert r.timesteps == [ts for ts, _ in frames]
+        for i, (ts, chunks) in enumerate(frames):
+            got_ts, got = r.read_frame(i)
+            assert got_ts == ts
+            assert set(got) == set(chunks)
+            for k in chunks:
+                np.testing.assert_array_equal(got[k], chunks[k])
+    return path
+
+
+def test_native_engine_builds():
+    assert native_available(), "C++ aztraj engine failed to build"
+
+
+def test_roundtrip_native(tmp_path):
+    _roundtrip(tmp_path, "native.azt")
+
+
+def test_roundtrip_pure_python(tmp_path, monkeypatch):
+    monkeypatch.setattr(_aztraj, "_lib", None)
+    monkeypatch.setattr(_aztraj, "_lib_tried", True)
+    _roundtrip(tmp_path, "pure.azt")
+
+
+def test_backends_interoperate(tmp_path, monkeypatch):
+    """Bytes written by the native engine read back via pure python and
+    vice versa — one format, two engines."""
+    path = str(tmp_path / "interop.azt")
+    frames = _frames()
+    with TrajectoryWriter(path) as w:  # native (or python if unavailable)
+        for ts, chunks in frames:
+            w.write_frame(ts, chunks)
+    monkeypatch.setattr(_aztraj, "_lib", None)
+    monkeypatch.setattr(_aztraj, "_lib_tried", True)
+    with TrajectoryReader(path) as r:
+        ts, got = r.read_frame(2)
+        assert ts == frames[2][0]
+        np.testing.assert_array_equal(
+            got["particles/position"], frames[2][1]["particles/position"]
+        )
+    # python writes, native reads
+    path2 = str(tmp_path / "interop2.azt")
+    with TrajectoryWriter(path2) as w:
+        w.write_frame(7, frames[0][1])
+    monkeypatch.undo()
+    if native_available():
+        with TrajectoryReader(path2) as r:
+            ts, got = r.read_frame(0)
+            assert ts == 7
+
+
+def test_append_mode(tmp_path):
+    path = str(tmp_path / "append.azt")
+    frames = _frames()
+    with TrajectoryWriter(path) as w:
+        w.write_frame(*frames[0])
+    with TrajectoryWriter(path, mode="a") as w:
+        w.write_frame(*frames[1])
+    with TrajectoryReader(path) as r:
+        assert len(r) == 2
+        assert r.timesteps == [frames[0][0], frames[1][0]]
+
+
+def test_corruption_detected(tmp_path):
+    path = _roundtrip(tmp_path, "corrupt.azt")
+    raw = bytearray(open(path, "rb").read())
+    raw[200] ^= 0xFF  # flip a byte inside frame data
+    open(path, "wb").write(bytes(raw))
+    with pytest.raises(OSError):
+        with TrajectoryReader(path) as r:
+            for i in range(len(r)):
+                r.read_frame(i)
+
+
+def _small_sim(seed=11, nve=False):
+    n, a = 5, 1.2
+    snap = az.Snapshot(N=n**3)
+    snap.configuration.box = [n * a] * 3 + [0, 0, 0]
+    snap.particles.types = ["A"]
+    x = (np.arange(n) + 0.5) * a - n * a / 2
+    snap.particles.position[:] = np.stack(
+        np.meshgrid(x, x, x, indexing="ij"), -1
+    ).reshape(-1, 3)
+    sim = az.Simulation(seed=seed)
+    sim.create_state_from_snapshot(snap)
+    lj = az.pair.PerturbedLennardJones(
+        nlist=az.md.nlist.Cell(buffer=0.4), default_r_cut=2.0
+    )
+    lj.params[("A", "A")] = dict(epsilon=1.0, sigma=1.0, attraction_scale_factor=0.5)
+    method = (
+        az.md.methods.ConstantVolume()
+        if nve
+        else az.md.methods.Langevin(kT=1.0, default_gamma=0.5)
+    )
+    sim.operations.integrator = az.md.Integrator(
+        dt=0.005, methods=[method], forces=[lj]
+    )
+    sim.state.thermalize_particle_momenta(kT=1.0)
+    return sim
+
+
+def _restart_from(path, n_steps, nve=False):
+    snap, ts = load_checkpoint(path)
+    sim = _small_sim(nve=nve)
+    sim._set_snapshot(snap)
+    sim.timestep = ts
+    sim.run(n_steps)
+    return np.asarray(sim.state.get_snapshot().particles.position)
+
+
+def test_checkpoint_restart_nve(tmp_path):
+    """NVE restart reproduces the continuous run to f32 summation noise:
+    every input to the step is reconstructed from the checkpoint (the only
+    difference is the rebuilt slot layout's accumulation order)."""
+    path = str(tmp_path / "ckpt_nve.azt")
+    sim = _small_sim(nve=True)
+    sim.run(20)
+    save_checkpoint(sim, path)
+    sim.run(10)
+    ref = np.asarray(sim.state.get_snapshot().particles.position)
+    got = _restart_from(path, 10, nve=True)
+    np.testing.assert_allclose(got, ref, rtol=0, atol=1e-4)
+
+
+def test_checkpoint_restart_langevin(tmp_path):
+    """Langevin restarts are deterministic (two restarts agree bitwise —
+    the RNG is counter-based on (seed, timestep, tag), no hidden state).
+    vs the continuous run there is a one-time O(dt) kick: the stored
+    acceleration folds in the previous step's stochastic+drag force, which
+    a restart cannot reconstruct (same behavior as the reference stack's
+    Langevin restarts)."""
+    path = str(tmp_path / "ckpt.azt")
+    sim = _small_sim()
+    sim.run(20)
+    save_checkpoint(sim, path)
+    _, ts = load_checkpoint(path)
+    assert ts == 20
+    sim.run(10)
+    ref = np.asarray(sim.state.get_snapshot().particles.position)
+
+    got1 = _restart_from(path, 10)
+    got2 = _restart_from(path, 10)
+    np.testing.assert_array_equal(got1, got2)
+    np.testing.assert_allclose(got1, ref, rtol=0, atol=5e-2)
+
+
+def test_trajectory_writer_in_run(tmp_path):
+    path = str(tmp_path / "traj.azt")
+    sim = _small_sim()
+    traj = az.write.Trajectory(trigger=az.trigger.Periodic(10), filename=path)
+    sim.operations.writers.append(traj)
+    sim.run(35)
+    traj.close()
+    with TrajectoryReader(path) as r:
+        assert r.timesteps == [10, 20, 30]
+        ts, first = r.read_frame(0)
+        assert "particles/typeid" in first  # first frame complete
+        ts, later = r.read_frame(1)
+        assert "particles/typeid" not in later  # dynamic-only afterwards
+        assert later["particles/position"].shape == (125, 3)
+
+
+def test_table_writer(tmp_path):
+    out = str(tmp_path / "log.txt")
+    sim = _small_sim()
+    thermo = az.compute.ThermodynamicQuantities()
+    sim.operations.computes.append(thermo)
+    logger = az.write.Logger()
+    logger.add(thermo, ["kinetic_temperature"], prefix="thermo")
+    logger["custom"] = lambda: 42
+    table = az.write.Table(trigger=5, logger=logger, output=out)
+    sim.operations += table
+    sim.run(12)
+    table.close()
+    lines = open(out).read().strip().splitlines()
+    assert lines[0].split() == ["timestep", "thermo.kinetic_temperature", "custom"]
+    assert [ln.split()[0] for ln in lines[1:]] == ["5", "10"]
+    assert all(ln.split()[2] == "42" for ln in lines[1:])
+    kT = float(lines[1].split()[1])
+    assert 0.1 < kT < 3.0
