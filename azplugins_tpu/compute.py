@@ -67,15 +67,7 @@ class VelocityCompute(Compute):
     def velocity(self):
         self._require_attached("velocity")
         state = self._sim._synced_state()
-
-        @jax.jit
-        def _calc(vel, mass, mask):
-            m = jnp.where(mask, mass, 0.0)
-            mom = jnp.sum(vel * m[:, None], axis=0)
-            mtot = jnp.sum(m)
-            return mom / jnp.maximum(mtot, 1e-38)
-
-        return np.asarray(_calc(state.velocity, state.mass, self._mask))
+        return np.asarray(_group_velocity(state.velocity, state.mass, self._mask))
 
 
 class VelocityFieldCompute(Compute):
@@ -99,6 +91,7 @@ class VelocityFieldCompute(Compute):
             raise ValueError("num_bins must have 3 entries")
         self.filter = filter
         self._mask = None
+        self._calc_jit = None
 
     def _attach(self, sim):
         super()._attach(sim)
@@ -132,25 +125,30 @@ class VelocityFieldCompute(Compute):
     def velocities(self):
         self._require_attached("velocities")
         state = self._sim._synced_state()
-        num_bins = self.num_bins
-        lower = self.lower_bounds
-        upper = self.upper_bounds
-        coord_fn = type(self)._coord_fn
+        if self._calc_jit is None:
+            num_bins = self.num_bins
+            lower = self.lower_bounds
+            upper = self.upper_bounds
+            coord_fn = type(self)._coord_fn
 
-        @jax.jit
-        def _calc(position, velocity, mass, image, mask, box):
-            pos, _ = box.wrap(position, image)
-            coords, vel = coord_fn(pos, velocity)
-            mass_grid, mom_grid = bin_particles(
-                coords, vel, mass, mask, num_bins, lower, upper
-            )
-            m_safe = jnp.where(mass_grid > 0, mass_grid, 1.0)
-            return jnp.where(
-                (mass_grid > 0)[:, None], mom_grid / m_safe[:, None], 0.0
-            )
+            def _calc(position, velocity, mass, image, mask, box):
+                pos, _ = box.wrap(position, image)
+                coords, vel = coord_fn(pos, velocity)
+                mass_grid, mom_grid = bin_particles(
+                    coords, vel, mass, mask, num_bins, lower, upper
+                )
+                m_safe = jnp.where(mass_grid > 0, mass_grid, 1.0)
+                return jnp.where(
+                    (mass_grid > 0)[:, None], mom_grid / m_safe[:, None], 0.0
+                )
 
+            # cache the jitted wrapper: jax.jit caches per wrapper object
+            self._calc_jit = jax.jit(_calc)
         v = np.asarray(
-            _calc(state.position, state.velocity, state.mass, state.image, self._mask, state.box)
+            self._calc_jit(
+                state.position, state.velocity, state.mass, state.image,
+                self._mask, state.box,
+            )
         )
         return v.reshape((*self._compact_shape(), 3))
 
@@ -212,3 +210,11 @@ class ThermodynamicQuantities(Compute):
             for f in sim.operations.integrator.forces:
                 total += f.energy
         return total
+
+
+@jax.jit
+def _group_velocity(vel, mass, mask):
+    m = jnp.where(mask, mass, 0.0)
+    mom = jnp.sum(vel * m[:, None], axis=0)
+    mtot = jnp.sum(m)
+    return mom / jnp.maximum(mtot, 1e-38)

@@ -34,6 +34,11 @@ from .ops.pair_force import ForceResult
 
 __all__ = ["Simulation", "Operations"]
 
+# module-level jitted wrappers: jax.jit caches compilations per wrapper
+# object, so these must be created once, not per call
+_densify_jit = jax.jit(D.densify, static_argnames="spec")
+_undensify_jit = jax.jit(D.undensify, static_argnames="N")
+
 
 class Operations:
     def __init__(self):
@@ -154,8 +159,7 @@ class Simulation:
             if self._grid_spec is None:
                 self._state = self._dense
             else:
-                undens = jax.jit(D.undensify, static_argnames="N")
-                self._state = undens(self._dense, N=self._state.N)
+                self._state = _undensify_jit(self._dense, N=self._state.N)
             self._state_stale = False
         return self._state
 
@@ -309,9 +313,11 @@ class Simulation:
 
         self._run_chunk_impl = run_chunk
         self._compute_net = compute_net
+        self._compute_net_jit = jax.jit(compute_net)
         self._compute_all = compute_all
         self._run_chunk_bound = None
         self._bound_fp = None
+        self._single_force_jit = {}
 
     @staticmethod
     def _tables_fingerprint(tbls):
@@ -359,9 +365,7 @@ class Simulation:
             self._dense = state
             self._meta = self._identity_meta(state)
             return
-        self._dense, self._meta = jax.jit(D.densify, static_argnames="spec")(
-            state, spec=self._grid_spec
-        )
+        self._dense, self._meta = _densify_jit(state, spec=self._grid_spec)
         if bool(self._meta.overflow):
             self._grow_and_rebuild()
 
@@ -405,9 +409,7 @@ class Simulation:
         for _ in range(8):
             self._grid_spec = self._grid_spec.grow()
             self._build_runner()
-            self._dense, self._meta = jax.jit(D.densify, static_argnames="spec")(
-                state, spec=self._grid_spec
-            )
+            self._dense, self._meta = _densify_jit(state, spec=self._grid_spec)
             if not bool(self._meta.overflow):
                 return
         raise RuntimeError("cell capacity growth did not converge")
@@ -422,7 +424,7 @@ class Simulation:
         self._ensure_dense()
         t = jnp.int32(self._timestep)
         slot_of = self._meta.slot_of if self._grid_spec is not None else None
-        net = jax.jit(self._compute_net)(self._dense, slot_of, t, self._force_tables())
+        net = self._compute_net_jit(self._dense, slot_of, t, self._force_tables())
         accel = net / self._dense.mass[:, None]
         self._dense = self._dense.replace(net_force=net, acceleration=accel)
         self._state_stale = True
@@ -507,4 +509,7 @@ class Simulation:
                 torque=back(r.torque),
             )
 
-        return jax.jit(calc)(self._dense, slot_of, jnp.int32(self._timestep), tbls)
+        fn = self._single_force_jit.get(i)
+        if fn is None:
+            fn = self._single_force_jit[i] = jax.jit(calc)
+        return fn(self._dense, slot_of, jnp.int32(self._timestep), tbls)
