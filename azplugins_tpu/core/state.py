@@ -90,10 +90,13 @@ def state_to_snapshot(state: State, particle_types, bond_types) -> Snapshot:
     snap.particles.types = list(particle_types)
     snap.bonds.types = list(bond_types)
     p = snap.particles
-    p.position[:] = np.asarray(state.position, dtype=np.float64)
+    # positions may carry unwrapped drift (integrators defer wrapping to
+    # the neighbor rebuild); the user-facing snapshot is always wrapped
+    pos_w, image_w = state.box.wrap(state.position, state.image)
+    p.position[:] = np.asarray(pos_w, dtype=np.float64)
     p.velocity[:] = np.asarray(state.velocity, dtype=np.float64)
     p.typeid[:] = np.asarray(state.typeid)
-    p.image[:] = np.asarray(state.image)
+    p.image[:] = np.asarray(image_w)
     p.orientation[:] = np.asarray(state.orientation, dtype=np.float64)
     p.mass[:] = np.asarray(state.mass, dtype=np.float64)
     p.diameter[:] = np.asarray(state.diameter, dtype=np.float64)

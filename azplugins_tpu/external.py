@@ -188,6 +188,7 @@ class _ColloidWall(_WallPotential):
     """
 
     _wall_name = "Colloid"
+    _needs_diameter = True
 
 
 class _WallNamespace:

@@ -42,7 +42,7 @@ class Bond(Force):
             state.N,
         )
 
-    def _compute_dense(self, dense, jb, spec, slot_of, timestep, ctx, tbl, want="all"):
+    def _compute_dense(self, dense, jb, spec, slot_of, timestep, ctx, tbl, want="all", masked=True):
         if slot_of is None:
             return self._compute(dense, None, timestep, ctx, tbl)
         return dense_bond_force(

@@ -69,7 +69,7 @@ class Force:
     _needs_tag_j = False
     _needs_quat_j = False
 
-    def _compute_dense(self, dense, jb, spec, slot_of, timestep, ctx, tbl, want="all") -> ForceResult:
+    def _compute_dense(self, dense, jb, spec, slot_of, timestep, ctx, tbl, want="all", masked=True) -> ForceResult:
         """Force kernel in the dense (slot) layout.
 
         Default: per-particle forces (barriers/walls) are layout-agnostic;

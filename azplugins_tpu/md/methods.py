@@ -40,7 +40,9 @@ class Method:
         self._select = self.filter.bind(sim._particle_types)
 
     def _where(self, state, new, old):
-        m = self._select(state)
+        # empty slots (tag < 0, dense layout) must never move: the pair
+        # kernels rely on their far sentinel positions staying put
+        m = self._select(state) & (state.tag >= 0)
         if new.ndim > m.ndim:
             m = m[(...,) + (None,) * (new.ndim - m.ndim)]
         return jnp.where(m, new, old)
@@ -49,13 +51,16 @@ class Method:
     # step1 drifts with the *stored* acceleration (which for Langevin
     # includes last step's thermostat forces, matching the reference's
     # h_accel usage at TwoStepLangevinFlow.h:142-149).
+    # Positions are NOT wrapped here (HOOMD wraps every step): they drift
+    # unwrapped until the next neighbor rebuild, which wraps and updates
+    # images (ops/dense._bin_to_slots). This keeps the hot loop free of
+    # periodic math; forces are exact because stencil coordinates are
+    # pre-shifted.
     def step1(self, state, dt, timestep, seed):
         vel_half = state.velocity + (0.5 * dt) * state.acceleration
         pos = state.position + dt * vel_half
-        pos, image = state.box.wrap(pos, state.image)
         return state.replace(
             position=self._where(state, pos, state.position),
-            image=self._where(state, image, state.image),
             velocity=self._where(state, vel_half, state.velocity),
         )
 
@@ -107,10 +112,13 @@ class LangevinFlow(Method, _GammaMixin):
         super()._attach(sim)
         self._attach_gamma(sim)
 
-    def _flow_velocity(self, position):
+    def _flow_velocity(self, state):
         if self.flow_field is None:
-            return jnp.zeros_like(position)
-        return self.flow_field(position)
+            return jnp.zeros_like(state.position)
+        # flow fields are defined on in-box coordinates; positions drift
+        # unwrapped between neighbor rebuilds, so wrap locally (O(N))
+        pos, _ = state.box.wrap(state.position)
+        return self.flow_field(pos)
 
     def step2(self, state, dt, timestep, seed):
         gp = self._gamma_of(state)
@@ -122,7 +130,7 @@ class LangevinFlow(Method, _GammaMixin):
             coeff = jnp.sqrt(6.0 * gp * kT / dt)[:, None]
         u = _rng.particle_uniform3(self._rng_stream, seed, timestep, state.tag)
         random_force = coeff * u
-        flow_vel = self._flow_velocity(state.position)
+        flow_vel = self._flow_velocity(state)
         bd_force = random_force - gamma * (state.velocity - flow_vel)
         accel = (state.net_force + bd_force) / state.mass[:, None]
         vel = state.velocity + (0.5 * dt) * accel
@@ -176,16 +184,21 @@ class BrownianFlow(Method, _GammaMixin):
         if self.flow_field is None:
             flow_vel = jnp.zeros_like(state.position)
         else:
-            flow_vel = self.flow_field(state.position)
+            wrapped, _ = state.box.wrap(state.position)
+            flow_vel = self.flow_field(wrapped)
         pos = state.position + (flow_vel + (state.net_force + random_force) / gamma) * dt
-        pos, image = state.box.wrap(pos, state.image)
         return state.replace(
             position=self._where(state, pos, state.position),
-            image=self._where(state, image, state.image),
         )
 
     def step2(self, state, dt, timestep, seed):
-        return state
+        # bookkeeping only: acceleration mirrors net_force/m so the rebin
+        # payload (which carries acceleration, not net force) reconstructs
+        # net_force exactly for the next step1 (ops/dense._state_from_payload)
+        accel = state.net_force / state.mass[:, None]
+        return state.replace(
+            acceleration=self._where(state, accel, state.acceleration)
+        )
 
 
 class Brownian(BrownianFlow):

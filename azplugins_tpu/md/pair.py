@@ -85,7 +85,7 @@ class Pair(Force):
             self.mode,
         )
 
-    def _compute_dense(self, dense, jb, spec, slot_of, timestep, ctx, tbl, want="all"):
+    def _compute_dense(self, dense, jb, spec, slot_of, timestep, ctx, tbl, want="all", masked=True):
         return dense_pair_force(
             self._def.energy_force,
             dense,
@@ -96,6 +96,7 @@ class Pair(Force):
             tbl["r_on"],
             self.mode,
             want,
+            masked,
         )
 
 
@@ -176,11 +177,11 @@ class DPDGeneralWeight(Pair):
             timestep,
         )
 
-    def _compute_dense(self, dense, jb, spec, slot_of, timestep, ctx, tbl, want="all"):
+    def _compute_dense(self, dense, jb, spec, slot_of, timestep, ctx, tbl, want="all", masked=True):
         kT = self.kT(timestep)
         return dense_dpd_force(
             dense, jb, spec, tbl["params"], tbl["r_cut"],
-            kT, ctx.dt, ctx.seed, timestep, want,
+            kT, ctx.dt, ctx.seed, timestep, want, masked,
         )
 
 
@@ -233,8 +234,8 @@ class TwoPatchMorse(Force):
             self.mode,
         )
 
-    def _compute_dense(self, dense, jb, spec, slot_of, timestep, ctx, tbl, want="all"):
+    def _compute_dense(self, dense, jb, spec, slot_of, timestep, ctx, tbl, want="all", masked=True):
         return dense_aniso_force(
             self._def.energy_force_torque,
-            dense, jb, spec, tbl["params"], tbl["r_cut"], self.mode, want,
+            dense, jb, spec, tbl["params"], tbl["r_cut"], self.mode, want, masked,
         )

@@ -181,7 +181,32 @@ def _cell_id(x, y, z, box: Box, dims):
     return (cx * dims[1] + cy) * dims[2] + cz
 
 
-def _per_particle_payload(state: State):
+# Core payload columns every rebin must carry. Optional columns ("quat",
+# "charge", "diameter", "mass") are included only when the simulation uses
+# them (host-side check at attach); dropped columns are reconstructed from
+# defaults at undensify. net_force is never carried: integrators maintain
+# acceleration = net_force / mass, so it is rebuilt exactly.
+_CORE_FIELDS = (
+    "x", "y", "z", "vx", "vy", "vz", "ax", "ay", "az",
+    "typeid", "tag", "ix", "iy", "iz",
+)
+_OPT_FIELDS = {
+    "mass": ("mass",),
+    "quat": ("qw", "qx", "qy", "qz"),
+    "charge": ("charge",),
+    "diameter": ("diameter",),
+}
+ALL_FIELDS = ("mass", "quat", "charge", "diameter")
+
+
+def _payload_names(fields: tuple) -> tuple:
+    names = list(_CORE_FIELDS)
+    for f in fields:
+        names.extend(_OPT_FIELDS[f])
+    return tuple(names)
+
+
+def _per_particle_payload(state: State, fields: tuple):
     """Pack per-particle arrays as named f32 views (ints bitcast)."""
     cols = {
         "x": state.position[:, 0],
@@ -193,48 +218,72 @@ def _per_particle_payload(state: State):
         "ax": state.acceleration[:, 0],
         "ay": state.acceleration[:, 1],
         "az": state.acceleration[:, 2],
-        "fx": state.net_force[:, 0],
-        "fy": state.net_force[:, 1],
-        "fz": state.net_force[:, 2],
-        "qw": state.orientation[:, 0],
-        "qx": state.orientation[:, 1],
-        "qy": state.orientation[:, 2],
-        "qz": state.orientation[:, 3],
-        "mass": state.mass,
-        "diameter": state.diameter,
-        "charge": state.charge,
         "ix": state.image[:, 0].view(jnp.float32),
         "iy": state.image[:, 1].view(jnp.float32),
         "iz": state.image[:, 2].view(jnp.float32),
         "typeid": state.typeid.view(jnp.float32),
         "tag": state.tag.view(jnp.float32),
     }
+    if "mass" in fields:
+        cols["mass"] = state.mass
+    if "quat" in fields:
+        cols["qw"] = state.orientation[:, 0]
+        cols["qx"] = state.orientation[:, 1]
+        cols["qy"] = state.orientation[:, 2]
+        cols["qz"] = state.orientation[:, 3]
+    if "charge" in fields:
+        cols["charge"] = state.charge
+    if "diameter" in fields:
+        cols["diameter"] = state.diameter
     return cols
 
 
-def _payload_defaults(S):
-    """Empty-slot sentinels (as f32-bitcast where int)."""
+def _sentinel_x(S, box: Box, spec: "GridSpec"):
+    """Far-away x coordinates for empty slots.
+
+    Placed at ``Lx + (slot+1) * (Lx + 2 r_list)`` so that (a) every
+    empty-real distance exceeds r_list (given >= 3 cells per axis) and
+    (b) every empty-empty distance — even after the periodic roll shift
+    of +-Lx — is at least 2 r_list. Empty slots therefore fall outside
+    every cutoff with no validity mask, and accumulate exactly zero
+    force (no NaN/Inf leakage into real slots).
+    """
+    Lx = box.L[0]
+    stride = Lx + jnp.float32(2.0 * spec.r_list)
+    return Lx + (jnp.arange(S, dtype=jnp.float32) + 1.0) * stride
+
+
+def _payload_defaults(S, box: Box, spec, names: tuple):
+    """Empty-slot defaults (as f32-bitcast where int)."""
     z = jnp.zeros((S,), jnp.float32)
     neg1 = jnp.full((S,), -1, jnp.int32).view(jnp.float32)
-    d = {k: z for k in (
-        "x", "y", "z", "vx", "vy", "vz", "ax", "ay", "az", "fx", "fy", "fz",
-        "qx", "qy", "qz", "charge", "ix", "iy", "iz",
-    )}
-    d["ix"] = jnp.zeros((S,), jnp.int32).view(jnp.float32)
-    d["iy"] = d["ix"]
-    d["iz"] = d["ix"]
-    d["qw"] = jnp.ones((S,), jnp.float32)
-    d["mass"] = jnp.ones((S,), jnp.float32)
-    d["diameter"] = jnp.ones((S,), jnp.float32)
-    d["typeid"] = neg1
-    d["tag"] = neg1
+    izero = jnp.zeros((S,), jnp.int32).view(jnp.float32)
+    one = jnp.ones((S,), jnp.float32)
+    d = {}
+    for k in names:
+        if k == "x":
+            d[k] = _sentinel_x(S, box, spec) if spec is not None else z
+        elif k in ("typeid", "tag"):
+            d[k] = neg1
+        elif k in ("ix", "iy", "iz"):
+            d[k] = izero
+        elif k in ("mass", "diameter", "qw"):
+            d[k] = one
+        else:
+            d[k] = z
     return d
 
 
-def _state_from_payload(cols: dict, template: State, box: Box) -> State:
+def _state_from_payload(cols: dict, template: State, box: Box, fields: tuple) -> State:
     def f(*names):
         return jnp.stack([cols[n] for n in names], axis=-1)
 
+    S = cols["x"].shape[0]
+    if "mass" in fields:
+        mass = cols["mass"]
+    else:
+        mass = jnp.ones((S,), jnp.float32)
+    accel = f("ax", "ay", "az")
     return State(
         position=f("x", "y", "z"),
         tag=cols["tag"].view(jnp.int32),
@@ -244,37 +293,55 @@ def _state_from_payload(cols: dict, template: State, box: Box) -> State:
             [cols["ix"].view(jnp.int32), cols["iy"].view(jnp.int32), cols["iz"].view(jnp.int32)],
             axis=-1,
         ),
-        orientation=f("qw", "qx", "qy", "qz"),
-        mass=cols["mass"],
-        diameter=cols["diameter"],
-        charge=cols["charge"],
-        net_force=f("fx", "fy", "fz"),
-        acceleration=f("ax", "ay", "az"),
+        orientation=(
+            f("qw", "qx", "qy", "qz")
+            if "quat" in fields
+            else jnp.tile(jnp.array([1.0, 0, 0, 0], jnp.float32), (S, 1))
+        ),
+        mass=mass,
+        diameter=cols["diameter"] if "diameter" in fields else jnp.ones((S,), jnp.float32),
+        charge=cols["charge"] if "charge" in fields else jnp.zeros((S,), jnp.float32),
+        net_force=accel * mass[:, None],
+        acceleration=accel,
         bond_typeid=template.bond_typeid,
         bond_group=template.bond_group,
         box=box,
     )
 
 
-def _bin_to_slots(state: State, spec: GridSpec, N_tags: int):
-    """Core binning: any-order state (n rows) -> slot-order state (S rows)."""
+def _bin_to_slots(state: State, spec: GridSpec, N_tags: int, fields: tuple):
+    """Core binning: any-order state (n rows) -> slot-order state (S rows).
+
+    Positions are wrapped into the box here (and only here): between
+    rebuilds the integrators leave positions unwrapped so that the
+    pre-shifted stencil coordinates (make_jblocks) subtract exactly.
+    """
     n = state.N
     S = spec.S
     valid = state.tag >= 0
+    pos_w, image_w = state.box.wrap(state.position, state.image)
+    state = state.replace(position=pos_w, image=image_w)
     cid = _cell_id(
         state.position[:, 0], state.position[:, 1], state.position[:, 2],
         state.box, spec.dims,
     )
     cid = jnp.where(valid, cid, spec.n_cells)
 
-    cols = _per_particle_payload(state)
-    names = list(cols.keys())
-    # Sort (key, index) only, then one contiguous row-gather of the packed
-    # payload: TPU sort compile time scales superlinearly in operand count
-    # (measured: 2 operands ~15s, 26 operands >10min at 128k), while a
-    # row-major gather of [n, K] compiles in <1s and runs at copy speed.
+    names = _payload_names(fields)
+    cols = _per_particle_payload(state, fields)
+    # Sort, then one contiguous row-gather of the packed payload: TPU sort
+    # compile time scales superlinearly in operand count (measured: 2
+    # operands ~15s, 26 operands >10min at 128k), while a row-major gather
+    # of [n, K] compiles in <1s and runs at copy speed. When the combined
+    # (cid, idx) key fits int32 a single fused key sorts ~2x faster still.
     idx = jnp.arange(n, dtype=jnp.int32)
-    cid_s, perm = jax.lax.sort([cid, idx], num_keys=1, is_stable=True)
+    if (spec.n_cells + 1) * n < 2**31:
+        key = cid * jnp.int32(n) + idx
+        key_s = jax.lax.sort(key)
+        cid_s = key_s // jnp.int32(n)
+        perm = key_s - cid_s * jnp.int32(n)
+    else:
+        cid_s, perm = jax.lax.sort([cid, idx], num_keys=1, is_stable=True)
     packed_in = jnp.stack([cols[k] for k in names], axis=-1)  # [n, K]
     packed_sorted = jnp.take(packed_in, perm, axis=0)
 
@@ -295,12 +362,12 @@ def _bin_to_slots(state: State, spec: GridSpec, N_tags: int):
 
     # one scatter of the packed payload rows
     packed = packed_sorted
-    defaults = _payload_defaults(S + 1)
+    defaults = _payload_defaults(S + 1, state.box, spec, names)
     base = jnp.stack([defaults[k] for k in names], axis=-1)  # [S+1, K]
     out = base.at[dest].set(packed, mode="drop")[:S]
     new_cols = {k: out[:, i] for i, k in enumerate(names)}
 
-    dense = _state_from_payload(new_cols, state, state.box)
+    dense = _state_from_payload(new_cols, state, state.box, fields)
     # tag -> slot map (scatter; empty tags dropped via clipped index)
     tags = dense.tag
     slot_of = jnp.full((N_tags,), 0, jnp.int32)
@@ -316,13 +383,13 @@ def _bin_to_slots(state: State, spec: GridSpec, N_tags: int):
     return dense, meta
 
 
-def densify(state: State, spec: GridSpec):
+def densify(state: State, spec: GridSpec, fields: tuple = ALL_FIELDS):
     """User (tag) order -> slot order. state must have N == number of tags."""
-    return _bin_to_slots(state, spec, state.N)
+    return _bin_to_slots(state, spec, state.N, fields)
 
 
-def rebin(dense: State, meta: GridMeta, spec: GridSpec, N_tags: int):
-    new_dense, new_meta = _bin_to_slots(dense, spec, N_tags)
+def rebin(dense: State, meta: GridMeta, spec: GridSpec, N_tags: int, fields: tuple = ALL_FIELDS):
+    new_dense, new_meta = _bin_to_slots(dense, spec, N_tags, fields)
     new_meta = new_meta.replace(
         overflow=new_meta.overflow | meta.overflow,
         n_builds=meta.n_builds + 1,
@@ -330,24 +397,31 @@ def rebin(dense: State, meta: GridMeta, spec: GridSpec, N_tags: int):
     return new_dense, new_meta
 
 
-def undensify(dense: State, N: int) -> State:
-    """Slot order -> user (tag) order via one packed row scatter."""
-    cols = _per_particle_payload(dense)
-    names = list(cols.keys())
+def undensify(dense: State, N: int, fields: tuple = ALL_FIELDS) -> State:
+    """Slot order -> user (tag) order via one packed row scatter.
+
+    Positions come back wrapped into the box (the slot-order state may
+    carry up to half a Verlet margin of unwrapped drift).
+    """
+    pos_w, image_w = dense.box.wrap(dense.position, dense.image)
+    dense = dense.replace(position=pos_w, image=image_w)
+    names = _payload_names(fields)
+    cols = _per_particle_payload(dense, fields)
     packed = jnp.stack([cols[k] for k in names], axis=-1)  # [S, K]
     dest = jnp.where(dense.tag >= 0, dense.tag, N)
     out = jnp.zeros((N + 1, packed.shape[1]), jnp.float32).at[dest].set(
         packed, mode="drop"
     )[:N]
     new_cols = {k: out[:, i] for i, k in enumerate(names)}
-    state = _state_from_payload(new_cols, dense, dense.box)
+    state = _state_from_payload(new_cols, dense, dense.box, fields)
     return state
 
 
 def needs_rebin(dense: State, meta: GridMeta, spec: GridSpec):
+    # positions drift unwrapped between rebuilds, so the displacement is a
+    # direct difference — no minimum-image math on the per-step check
     d = dense.position - meta.ref_position
-    dx, dy, dz = dense.box.min_image_components(d[:, 0], d[:, 1], d[:, 2])
-    dispsq = dx * dx + dy * dy + dz * dz
+    dispsq = jnp.sum(d * d, axis=-1)
     dispsq = jnp.where(dense.tag >= 0, dispsq, 0.0)
     return jnp.max(dispsq) > jnp.float32(0.25 * spec.buffer * spec.buffer)
 
@@ -362,13 +436,19 @@ class JBlocks:
     Stacked (not concatenated) so the force pass can ``lax.scan`` over the
     stencil axis: one traced offset body instead of 27 unrolled copies,
     keeping fusions at [n_cells, cap, cap] and compile times flat in N.
+
+    Coordinates are **pre-shifted**: rolls that wrap around the periodic
+    box carry the lattice-vector shift folded in per cell, so ``xi - jx``
+    is the true separation with no per-pair minimum-image math (the
+    biggest single VPU saving in the pair hot loop — measured 1.55x with
+    the sentinel-empty trick). Empty slots sit at far sentinel x
+    (see _sentinel_x), outside every cutoff.
     """
 
     x: jnp.ndarray
     y: jnp.ndarray
     z: jnp.ndarray
-    slot: jnp.ndarray  # int32 slot ids (self-pair exclusion)
-    typeid: jnp.ndarray  # int32 (-1 empty)
+    typeid: jnp.ndarray | None = None  # int32 (-1 empty); built when needed
     tag: jnp.ndarray | None = None  # int32 (DPD RNG)
     vx: jnp.ndarray | None = None
     vy: jnp.ndarray | None = None
@@ -378,17 +458,60 @@ class JBlocks:
     qy: jnp.ndarray | None = None
     qz: jnp.ndarray | None = None
     half: bool = static_field(default=False)  # built from half_stencil()
+    # True when every axis has >= 3 cells so each (cell, offset) pair maps
+    # to exactly one periodic image and the roll shift is folded into the
+    # coordinates. With < 3 cells an offset aliases both images and the
+    # kernels must keep per-pair minimum-image math.
+    preshifted: bool = static_field(default=True)
 
 
-def _roll_concat(arr, spec: GridSpec, offsets: np.ndarray):
-    """[S] -> [n_stencil, n_cells, cap]: occupants of every stencil cell."""
+def _roll_concat(arr, spec: GridSpec, offsets: np.ndarray, shifts=None):
+    """[S] -> [n_stencil, n_cells, cap]: occupants of every stencil cell.
+
+    ``shifts``: optional per-offset [Dx, Dy, Dz]-broadcastable additive
+    periodic shifts (applied after the roll).
+    """
     Dx, Dy, Dz = spec.dims
     g = arr.reshape(Dx, Dy, Dz, spec.cap)
-    blocks = [
-        jnp.roll(g, shift=(-int(o[0]), -int(o[1]), -int(o[2])), axis=(0, 1, 2))
-        for o in offsets
-    ]
+    blocks = []
+    for k, o in enumerate(offsets):
+        b = jnp.roll(g, shift=(-int(o[0]), -int(o[1]), -int(o[2])), axis=(0, 1, 2))
+        if shifts is not None:
+            b = b + shifts[k][..., None]
+        blocks.append(b)
     return jnp.stack(blocks, axis=0).reshape(len(blocks), spec.n_cells, spec.cap)
+
+
+def _wrap_counts(offsets: np.ndarray, dims) -> list:
+    """Per-offset, per-axis wrap counts n in {-1,0,1}: cell c pulls data
+    from cell (c+o) mod D; n[c] = floor((c+o)/D) marks where the roll
+    crossed the periodic boundary."""
+    out = []
+    for o in offsets:
+        ns = []
+        for a in range(3):
+            c = np.arange(dims[a])
+            ns.append(np.floor_divide(c + int(o[a]), dims[a]).astype(np.float32))
+        out.append(ns)
+    return out
+
+
+def _shift_tables(offsets: np.ndarray, spec: GridSpec, box: Box):
+    """Additive coordinate shifts [n_off][Dx,Dy,Dz] for pre-shifted rolls.
+
+    Lattice vectors follow the HOOMD triclinic convention: a1=(Lx,0,0),
+    a2=(xy*Ly, Ly, 0), a3=(xz*Lz, yz*Lz, Lz)."""
+    Lx, Ly, Lz = box.L[0], box.L[1], box.L[2]
+    xy, xz, yz = box.tilt[0], box.tilt[1], box.tilt[2]
+    sx, sy, sz = [], [], []
+    for nx, ny, nz in _wrap_counts(offsets, spec.dims):
+        gx = jnp.asarray(nx)[:, None, None]
+        gy = jnp.asarray(ny)[None, :, None]
+        gz = jnp.asarray(nz)[None, None, :]
+        sx.append(gx * Lx + gy * (xy * Ly) + gz * (xz * Lz))
+        sy.append(gy * Ly + gz * (yz * Lz))
+        sz.append(gz * Lz)
+    return sx, sy, sz
 
 
 def make_jblocks(
@@ -398,17 +521,23 @@ def make_jblocks(
     need_tag: bool = False,
     need_quat: bool = False,
     half: bool = False,
+    need_typeid: bool = True,
 ) -> JBlocks:
     offsets = spec.half_stencil() if half else spec.stencil()
-    slot_ids = jnp.arange(spec.S, dtype=jnp.int32)
+    preshifted = spec.newton_ok  # every axis >= 3 cells
+    if preshifted:
+        sx, sy, sz = _shift_tables(offsets, spec, dense.box)
+    else:
+        sx = sy = sz = None
     kw = dict(
-        x=_roll_concat(dense.position[:, 0], spec, offsets),
-        y=_roll_concat(dense.position[:, 1], spec, offsets),
-        z=_roll_concat(dense.position[:, 2], spec, offsets),
-        slot=_roll_concat(slot_ids, spec, offsets),
-        typeid=_roll_concat(dense.typeid, spec, offsets),
+        x=_roll_concat(dense.position[:, 0], spec, offsets, sx),
+        y=_roll_concat(dense.position[:, 1], spec, offsets, sy),
+        z=_roll_concat(dense.position[:, 2], spec, offsets, sz),
         half=half,
+        preshifted=preshifted,
     )
+    if need_typeid:
+        kw["typeid"] = _roll_concat(dense.typeid, spec, offsets)
     if need_tag:
         kw["tag"] = _roll_concat(dense.tag, spec, offsets)
     if need_velocity:
@@ -456,19 +585,28 @@ def _i_views(dense: State, spec: GridSpec):
     def v(a):
         return a.reshape(C, cap, 1)
 
-    slot_i = jnp.arange(spec.S, dtype=jnp.int32).reshape(C, cap, 1)
-    return v, slot_i
+    return v
 
 
-def _offset_geometry(dense, spec, xi, yi, zi, slot_i, valid_i, js):
-    """Geometry + base mask for one stencil offset. All [C, cap, cap]."""
-    jx, jy, jz, jslot, jtype = js["x"], js["y"], js["z"], js["slot"], js["typeid"]
+def _offset_geometry(dense, spec, xi, yi, zi, valid_i, js, masked, preshifted=True):
+    """Geometry + base mask for one (full-stencil) offset. All [C,cap,cap].
+
+    j coordinates are pre-shifted (make_jblocks), so the difference is the
+    true separation — no minimum-image. Self pairs (the (0,0,0) offset)
+    are excluded by rsq > 0. With ``masked=False`` (orthorhombic boxes)
+    empty slots are excluded purely by their far sentinel positions; with
+    ``masked=True`` (tilted boxes) explicit validity masks are kept.
+    """
+    jx, jy, jz = js["x"], js["y"], js["z"]
     dx = xi - jx[:, None, :]
     dy = yi - jy[:, None, :]
     dz = zi - jz[:, None, :]
-    dx, dy, dz = dense.box.min_image_components(dx, dy, dz)
+    if not preshifted:
+        dx, dy, dz = dense.box.min_image_components(dx, dy, dz)
     rsq = dx * dx + dy * dy + dz * dz
-    mask = valid_i & (jtype >= 0)[:, None, :] & (jslot[:, None, :] != slot_i)
+    mask = rsq > 0
+    if masked:
+        mask = mask & valid_i & (js["typeid"] >= 0)[:, None, :]
     return dx, dy, dz, rsq, mask
 
 
@@ -481,7 +619,9 @@ def _scan_stencil(body, jb: JBlocks, spec: GridSpec, n_out: int, extra_keys=()):
     compiled program size and XLA compile time independent of the stencil.
     """
     C, cap = spec.n_cells, spec.cap
-    js_all = {"x": jb.x, "y": jb.y, "z": jb.z, "slot": jb.slot, "typeid": jb.typeid}
+    js_all = {"x": jb.x, "y": jb.y, "z": jb.z}
+    if jb.typeid is not None:
+        js_all["typeid"] = jb.typeid
     for k in extra_keys:
         js_all[k] = getattr(jb, k)
     carry0 = tuple(jnp.zeros((C, cap), jnp.float32) for _ in range(n_out))
@@ -539,20 +679,24 @@ def _finish_pair(carry, S):
 
 
 def _eval_pair_mode(
-    energy_force_fn, rsq_safe, rcut, rcutsq_safe, p, mode, r_on=None
+    energy_force_fn, rsq, rcut, rcutsq, p, mode, r_on=None
 ):
-    """Evaluate one pair batch with HOOMD shift-mode semantics."""
+    """Evaluate one pair batch with HOOMD shift-mode semantics.
+
+    Evaluators must be finite for any rsq > 0 beyond their cutoff (NaN is
+    tolerated only under lanes the caller masks out — jnp.where selects,
+    so masked NaN never propagates)."""
     from .pair_force import _xplor_smooth
 
-    e, f = energy_force_fn(rsq_safe, rcutsq_safe, p)
+    e, f = energy_force_fn(rsq, rcutsq, p)
     if mode == "shift":
-        e_cut, _ = energy_force_fn(rcutsq_safe, rcutsq_safe, p)
+        e_cut, _ = energy_force_fn(rcutsq, rcutsq, p)
         e = e - e_cut
     elif mode == "xplor":
         r_onsq = r_on * r_on
         smooth = r_on < rcut
-        e_s, f_s = _xplor_smooth(e, f, rsq_safe, rcutsq_safe, r_onsq)
-        e_cut, _ = energy_force_fn(rcutsq_safe, rcutsq_safe, p)
+        e_s, f_s = _xplor_smooth(e, f, rsq, rcutsq, r_onsq)
+        e_cut, _ = energy_force_fn(rcutsq, rcutsq, p)
         e = jnp.where(smooth, e_s, e - e_cut)
         f = jnp.where(smooth, f_s, f)
     elif mode != "none":
@@ -570,37 +714,43 @@ def dense_pair_force(
     r_on_table=None,
     mode: str = "none",
     want: str = "all",
+    masked: bool = True,
 ):
-    """Isotropic pair potential over the dense stencil. Returns ForceResult."""
-    T = r_cut_table.shape[0]
-    v, slot_i = _i_views(dense, spec)
-    xi, yi, zi = v(dense.position[:, 0]), v(dense.position[:, 1]), v(dense.position[:, 2])
-    t_i = v(dense.typeid)
-    valid_i = v(dense.tag >= 0)
+    """Isotropic pair potential over the dense stencil. Returns ForceResult.
 
-    def eval_batch(dx, dy, dz, rsq, mask, t_j):
+    ``masked=False`` is the orthorhombic fast path: empty slots are
+    excluded by sentinel positions alone (see _sentinel_x), saving the
+    validity compares and the typeid roll in the hot loop.
+    """
+    T = r_cut_table.shape[0]
+    v = _i_views(dense, spec)
+    xi, yi, zi = v(dense.position[:, 0]), v(dense.position[:, 1]), v(dense.position[:, 2])
+    need_t = masked or T > 1
+    t_i = v(dense.typeid) if need_t else None
+    valid_i = v(dense.tag >= 0) if masked else None
+
+    def eval_batch(rsq, mask, t_j):
         p = _pair_params(tables, t_i, t_j, T)
         rcut = _pair_params({"r": r_cut_table}, t_i, t_j, T)["r"]
         rcutsq = rcut * rcut
-        mask = mask & (rsq < rcutsq) & (rcut > 0)
-        rsq_safe = jnp.where(mask, rsq, 1.0)
-        rcutsq_safe = jnp.where(rcut > 0, rcutsq, 4.0)
+        mask = mask & (rsq < rcutsq)
         r_on = (
             _pair_params({"r": r_on_table}, t_i, t_j, T)["r"]
             if mode == "xplor"
             else None
         )
-        e, f = _eval_pair_mode(
-            energy_force_fn, rsq_safe, rcut, rcutsq_safe, p, mode, r_on
-        )
+        e, f = _eval_pair_mode(energy_force_fn, rsq, rcut, rcutsq, p, mode, r_on)
         return e, f, mask
+
+    def t_of(js):
+        return js["typeid"][:, None, :] if need_t else None
 
     if not jb.half:
         def body(carry, js):
             dx, dy, dz, rsq, mask = _offset_geometry(
-                dense, spec, xi, yi, zi, slot_i, valid_i, js
+                dense, spec, xi, yi, zi, valid_i, js, masked, jb.preshifted
             )
-            e, f, mask = eval_batch(dx, dy, dz, rsq, mask, js["typeid"][:, None, :])
+            e, f, mask = eval_batch(rsq, mask, t_of(js))
             return _pair_accumulate(carry, dx, dy, dz, e, f, mask, want)
 
         carry = _scan_stencil(body, jb, spec, n_out=_n_acc(want))
@@ -635,19 +785,23 @@ def dense_pair_force(
         return jnp.stack(cols, axis=-1)  # [C, cap, n_acc]
 
     def body(carry, js):
-        jx, jy, jz, jtype = js["x"], js["y"], js["z"], js["typeid"]
+        jx, jy, jz = js["x"], js["y"], js["z"]
         dx = xi - jx[:, None, :]
         dy = yi - jy[:, None, :]
         dz = zi - jz[:, None, :]
-        dx, dy, dz = dense.box.min_image_components(dx, dy, dz)
         rsq = dx * dx + dy * dy + dz * dz
-        mask = valid_i & (jtype >= 0)[:, None, :]
-        e, f, mask = eval_batch(dx, dy, dz, rsq, mask, jtype[:, None, :])
+        if masked:
+            mask = valid_i & (js["typeid"] >= 0)[:, None, :]
+        else:
+            mask = True
+        e, f, mask = eval_batch(rsq, mask, t_of(js))
         carry = _pair_accumulate(carry, dx, dy, dz, e, f, mask, want)
         return carry, jside(e, f, mask, dx, dy, dz)
 
     n_acc = _n_acc(want)
-    js_all = {"x": jb.x, "y": jb.y, "z": jb.z, "typeid": jb.typeid}
+    js_all = {"x": jb.x, "y": jb.y, "z": jb.z}
+    if jb.typeid is not None:
+        js_all["typeid"] = jb.typeid
     carry0 = tuple(jnp.zeros((C, cap), jnp.float32) for _ in range(n_acc))
     carry, ys = jax.lax.scan(body, carry0, js_all)
 
@@ -655,8 +809,6 @@ def dense_pair_force(
     xj0 = dense.position[:, 0].reshape(C, 1, cap)
     yj0 = dense.position[:, 1].reshape(C, 1, cap)
     zj0 = dense.position[:, 2].reshape(C, 1, cap)
-    tj0 = dense.typeid.reshape(C, 1, cap)
-    validj0 = (dense.tag >= 0).reshape(C, 1, cap)
     tri = (
         jnp.arange(cap, dtype=jnp.int32)[None, None, :]
         > jnp.arange(cap, dtype=jnp.int32)[None, :, None]
@@ -664,10 +816,14 @@ def dense_pair_force(
     dx = xi - xj0
     dy = yi - yj0
     dz = zi - zj0
-    dx, dy, dz = dense.box.min_image_components(dx, dy, dz)
     rsq = dx * dx + dy * dy + dz * dz
-    mask0 = valid_i & validj0 & tri
-    e, f, mask0 = eval_batch(dx, dy, dz, rsq, mask0, tj0)
+    if masked:
+        validj0 = (dense.tag >= 0).reshape(C, 1, cap)
+        mask0 = valid_i & validj0 & tri
+    else:
+        mask0 = tri
+    tj0 = dense.typeid.reshape(C, 1, cap) if need_t else None
+    e, f, mask0 = eval_batch(rsq, mask0, tj0)
     carry = _pair_accumulate(carry, dx, dy, dz, e, f, mask0, want)
     jacc = jside(e, f, mask0, dx, dy, dz)  # same-cell: no roll-back needed
 
@@ -693,6 +849,7 @@ def dense_dpd_force(
     seed: int,
     timestep,
     want: str = "all",
+    masked: bool = True,
 ):
     """DPD general-weight thermostat over the dense stencil.
 
@@ -705,22 +862,25 @@ def dense_dpd_force(
     assert not jb.half, "DPD kernel requires the full stencil"
 
     T = r_cut_table.shape[0]
-    v, slot_i = _i_views(dense, spec)
+    v = _i_views(dense, spec)
     xi, yi, zi = v(dense.position[:, 0]), v(dense.position[:, 1]), v(dense.position[:, 2])
     vxi, vyi, vzi = v(dense.velocity[:, 0]), v(dense.velocity[:, 1]), v(dense.velocity[:, 2])
-    t_i = v(dense.typeid)
+    need_t = masked or T > 1
+    t_i = v(dense.typeid) if need_t else None
     tag_i = v(dense.tag)
-    valid_i = v(dense.tag >= 0)
+    valid_i = v(dense.tag >= 0) if masked else None
     kT = jnp.float32(kT)
     dt_arr = jnp.float32(dt)
 
     def body(carry, js):
-        dx, dy, dz, rsq, mask = _offset_geometry(dense, spec, xi, yi, zi, slot_i, valid_i, js)
-        t_j = js["typeid"][:, None, :]
+        dx, dy, dz, rsq, mask = _offset_geometry(
+            dense, spec, xi, yi, zi, valid_i, js, masked, jb.preshifted
+        )
+        t_j = js["typeid"][:, None, :] if need_t else None
         p = _pair_params(tables, t_i, t_j, T)
         rcut = _pair_params({"r": r_cut_table}, t_i, t_j, T)["r"]
         rcutsq = rcut * rcut
-        mask = mask & (rsq < rcutsq) & (rcut > 0)
+        mask = mask & (rsq < rcutsq)
         rsq_safe = jnp.where(mask, rsq, 1.0)
         rcut_safe = jnp.where(rcut > 0, rcut, 2.0)
 
@@ -775,6 +935,7 @@ def dense_aniso_force(
     r_cut_table,
     mode: str = "none",
     want: str = "all",
+    masked: bool = True,
 ):
     """Anisotropic pair potential (force + torque) over the dense stencil.
 
@@ -786,19 +947,22 @@ def dense_aniso_force(
     assert not jb.half, "aniso kernel requires the full stencil"
 
     T = r_cut_table.shape[0]
-    v, slot_i = _i_views(dense, spec)
+    v = _i_views(dense, spec)
     xi, yi, zi = v(dense.position[:, 0]), v(dense.position[:, 1]), v(dense.position[:, 2])
-    t_i = v(dense.typeid)
-    valid_i = v(dense.tag >= 0)
+    need_t = masked or T > 1
+    t_i = v(dense.typeid) if need_t else None
+    valid_i = v(dense.tag >= 0) if masked else None
     quat_i = tuple(v(dense.orientation[:, k]) for k in range(4))
 
     def body(carry, js):
-        dx, dy, dz, rsq, mask = _offset_geometry(dense, spec, xi, yi, zi, slot_i, valid_i, js)
-        t_j = js["typeid"][:, None, :]
+        dx, dy, dz, rsq, mask = _offset_geometry(
+            dense, spec, xi, yi, zi, valid_i, js, masked, jb.preshifted
+        )
+        t_j = js["typeid"][:, None, :] if need_t else None
         p = _pair_params(tables, t_i, t_j, T)
         rcut = _pair_params({"r": r_cut_table}, t_i, t_j, T)["r"]
         rcutsq = rcut * rcut
-        mask = mask & (rsq < rcutsq) & (rcut > 0)
+        mask = mask & (rsq < rcutsq)
         quat_j = tuple(js[k][:, None, :] for k in ("qw", "qx", "qy", "qz"))
         dx_s = jnp.where(mask, dx, 1.0)
         dy_s = jnp.where(mask, dy, 0.0)

@@ -36,8 +36,8 @@ __all__ = ["Simulation", "Operations"]
 
 # module-level jitted wrappers: jax.jit caches compilations per wrapper
 # object, so these must be created once, not per call
-_densify_jit = jax.jit(D.densify, static_argnames="spec")
-_undensify_jit = jax.jit(D.undensify, static_argnames="N")
+_densify_jit = jax.jit(D.densify, static_argnames=("spec", "fields"))
+_undensify_jit = jax.jit(D.undensify, static_argnames=("N", "fields"))
 
 
 class Operations:
@@ -133,6 +133,7 @@ class Simulation:
         self._state_stale = False
         self._run_chunk_bound = None
         self._bound_fp = None
+        self._fields: tuple = D.ALL_FIELDS  # rebin payload columns (static)
         self.max_chunk = 1000
 
     # -- state management ------------------------------------------------
@@ -159,7 +160,9 @@ class Simulation:
             if self._grid_spec is None:
                 self._state = self._dense
             else:
-                self._state = _undensify_jit(self._dense, N=self._state.N)
+                self._state = _undensify_jit(
+                    self._dense, N=self._state.N, fields=self._fields
+                )
             self._state_stale = False
         return self._state
 
@@ -229,9 +232,38 @@ class Simulation:
             if self._grid_spec is not None:
                 self._drop_dense()
             self._grid_spec = None
+        new_fields = self._select_fields()
+        if new_fields != self._fields:
+            self._fields = new_fields
+            self._drop_dense()
         self._build_runner()
         self._attached = True
         self._prepared = False
+
+    def _select_fields(self) -> tuple:
+        """Choose the optional rebin payload columns this run needs.
+
+        A column rides the rebin sort only if some attached op reads it or
+        the initial state carries non-default values (nothing in the engine
+        mutates mass/charge/diameter/orientation mid-run, so the host-side
+        check at attach is sound). Dropped columns are reconstructed from
+        defaults at undensify.
+        """
+        state = self._synced_state()
+        fields = []
+        mass = np.asarray(state.mass)
+        if np.any(mass != 1.0):
+            fields.append("mass")
+        quat = np.asarray(state.orientation)
+        need_quat = any(getattr(f, "_needs_quat_j", False) for f in self._forces())
+        if need_quat or np.any(quat != np.array([1.0, 0, 0, 0], np.float32)):
+            fields.append("quat")
+        if np.any(np.asarray(state.charge) != 0.0):
+            fields.append("charge")
+        need_diam = any(getattr(f, "_needs_diameter", False) for f in self._forces())
+        if need_diam or np.any(np.asarray(state.diameter) != 1.0):
+            fields.append("diameter")
+        return tuple(fields)
 
     def _ctx(self) -> SimContext:
         integ = self.operations.integrator
@@ -252,6 +284,19 @@ class Simulation:
         need_quat = any(getattr(f, "_needs_quat_j", False) for f in forces)
         any_pair = any(getattr(f, "_needs_nlist", False) for f in forces)
         N_tags = self._state.N
+        fields = self._fields
+
+        # Orthorhombic boxes take the maskless sentinel fast path: empty
+        # slots are excluded from every pair purely by their far sentinel
+        # coordinates (ops/dense._sentinel_x), so the hot loop carries no
+        # validity masks and (for one particle type) no typeid roll.
+        # Tilted boxes cannot bound the empty-empty distances after the
+        # periodic roll shifts, so they keep explicit masks.
+        tilted = bool(np.any(np.asarray(self._state.box.tilt) != 0.0))
+        # the sentinel argument needs >= 3 cells per axis (preshifted rolls)
+        # and an orthorhombic box (bounded roll shifts)
+        masked = tilted or (spec is not None and not spec.newton_ok)
+        need_typeid = masked or len(self._particle_types) > 1
 
         # Newton half-stencil: valid for isotropic pairs on grids with >=3
         # cells per axis. DPD (needs per-pair velocity/tags) and aniso
@@ -264,14 +309,19 @@ class Simulation:
 
         def compute_all(dense, slot_of, t, tbls, want="all"):
             jb = (
-                D.make_jblocks(dense, spec, need_vel, need_tag, need_quat, half=use_half)
+                D.make_jblocks(
+                    dense, spec, need_vel, need_tag, need_quat,
+                    half=use_half, need_typeid=need_typeid,
+                )
                 if (spec is not None and any_pair)
                 else None
             )
             results = []
             for f, tbl in zip(forces, tbls):
                 results.append(
-                    f._compute_dense(dense, jb, spec, slot_of, t, ctx, tbl, want=want)
+                    f._compute_dense(
+                        dense, jb, spec, slot_of, t, ctx, tbl, want=want, masked=masked
+                    )
                 )
             return results
 
@@ -287,7 +337,7 @@ class Simulation:
             if spec is not None:
                 dense, meta = jax.lax.cond(
                     D.needs_rebin(dense, meta, spec),
-                    lambda args: D.rebin(args[0], args[1], spec, N_tags),
+                    lambda args: D.rebin(args[0], args[1], spec, N_tags, fields),
                     lambda args: args,
                     (dense, meta),
                 )
@@ -365,7 +415,7 @@ class Simulation:
             self._dense = state
             self._meta = self._identity_meta(state)
             return
-        self._dense, self._meta = _densify_jit(state, spec=self._grid_spec)
+        self._dense, self._meta = _densify_jit(state, spec=self._grid_spec, fields=self._fields)
         if bool(self._meta.overflow):
             self._grow_and_rebuild()
 
@@ -409,7 +459,7 @@ class Simulation:
         for _ in range(8):
             self._grid_spec = self._grid_spec.grow()
             self._build_runner()
-            self._dense, self._meta = _densify_jit(state, spec=self._grid_spec)
+            self._dense, self._meta = _densify_jit(state, spec=self._grid_spec, fields=self._fields)
             if not bool(self._meta.overflow):
                 return
         raise RuntimeError("cell capacity growth did not converge")

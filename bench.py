@@ -65,9 +65,12 @@ def time_force_kernel(sim, lj, iters=50):
         def body(i, d):
             # nudge positions so XLA cannot hoist the loop-invariant kernel
             d = d.replace(position=d.position + jnp.float32(1e-9) * i)
-            jb = D.make_jblocks(d, spec, half=spec.newton_ok)
+            jb = D.make_jblocks(
+                d, spec, half=spec.newton_ok, need_typeid=False
+            )
             r = lj._compute_dense(
-                d, jb, spec, None, jnp.int32(i), ctx, tbl, want="force"
+                d, jb, spec, None, jnp.int32(i), ctx, tbl, want="force",
+                masked=False,
             )
             return d.replace(net_force=r.force)
 
