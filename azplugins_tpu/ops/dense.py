@@ -7,10 +7,11 @@ wrong architecture for TPU. This module implements the TPU-first design:
 
   * Particles live in a cell-dense slot layout: ``S = n_cells * cap``
     slots, cell-major. Empty slots carry ``tag = -1``.
-  * Neighbor access is ``jnp.roll`` of the ``[Dx, Dy, Dz, cap]`` grid over
-    the 27-cell stencil — contiguous copies, zero gathers. The rolled
-    stencil blocks are concatenated into ``[n_cells, stencil*cap]`` "J
-    blocks" whose lane dimension is large and aligned.
+  * Neighbor access wrap-pads the ``[Dx, Dy, Dz, cap]`` grid with a
+    one-cell periodic halo (lattice shifts folded into the halo faces)
+    and takes one *static slice* per stencil offset — contiguous
+    copies, zero gathers. (jnp.roll per offset was the original design;
+    see _halo_pad for the TPU miscompile that retired it.)
   * Pair forces evaluate the full dense ``[n_cells, cap, stencil*cap]``
     block with masking — trading ~8x redundant pair evaluations for
     perfectly regular VPU work (the same trade GROMACS makes for SIMD
@@ -206,8 +207,27 @@ def _payload_names(fields: tuple) -> tuple:
     return tuple(names)
 
 
+# Payload columns travel through the rebin sort/gather/scatter as int32,
+# with FLOATS bitcast to int32 — never the other way around. An int32
+# bitcast to f32 can be a NaN bit pattern (tag/typeid -1 = 0xFFFFFFFF is
+# a quiet NaN), and XLA backends may canonicalize such NaNs to 0x7FC00000
+# inside fused data movement — which silently turned empty slots into
+# "real" particles with tag 2143289344 and wrapped their far sentinels
+# into the box at the next rebuild. Int32 movement is bit-exact on every
+# backend.
+_INT_FIELDS = frozenset({"typeid", "tag", "ix", "iy", "iz"})
+
+
+def _as_payload_int(name: str, col):
+    return col if name in _INT_FIELDS else col.view(jnp.int32)
+
+
+def _from_payload_int(name: str, col):
+    return col if name in _INT_FIELDS else col.view(jnp.float32)
+
+
 def _per_particle_payload(state: State, fields: tuple):
-    """Pack per-particle arrays as named f32 views (ints bitcast)."""
+    """Per-particle arrays as named columns in their native dtypes."""
     cols = {
         "x": state.position[:, 0],
         "y": state.position[:, 1],
@@ -218,11 +238,11 @@ def _per_particle_payload(state: State, fields: tuple):
         "ax": state.acceleration[:, 0],
         "ay": state.acceleration[:, 1],
         "az": state.acceleration[:, 2],
-        "ix": state.image[:, 0].view(jnp.float32),
-        "iy": state.image[:, 1].view(jnp.float32),
-        "iz": state.image[:, 2].view(jnp.float32),
-        "typeid": state.typeid.view(jnp.float32),
-        "tag": state.tag.view(jnp.float32),
+        "ix": state.image[:, 0],
+        "iy": state.image[:, 1],
+        "iz": state.image[:, 2],
+        "typeid": state.typeid,
+        "tag": state.tag,
     }
     if "mass" in fields:
         cols["mass"] = state.mass
@@ -254,10 +274,10 @@ def _sentinel_x(S, box: Box, spec: "GridSpec"):
 
 
 def _payload_defaults(S, box: Box, spec, names: tuple):
-    """Empty-slot defaults (as f32-bitcast where int)."""
+    """Empty-slot defaults in native dtypes."""
     z = jnp.zeros((S,), jnp.float32)
-    neg1 = jnp.full((S,), -1, jnp.int32).view(jnp.float32)
-    izero = jnp.zeros((S,), jnp.int32).view(jnp.float32)
+    neg1 = jnp.full((S,), -1, jnp.int32)
+    izero = jnp.zeros((S,), jnp.int32)
     one = jnp.ones((S,), jnp.float32)
     d = {}
     for k in names:
@@ -286,13 +306,10 @@ def _state_from_payload(cols: dict, template: State, box: Box, fields: tuple) ->
     accel = f("ax", "ay", "az")
     return State(
         position=f("x", "y", "z"),
-        tag=cols["tag"].view(jnp.int32),
+        tag=cols["tag"],
         velocity=f("vx", "vy", "vz"),
-        typeid=cols["typeid"].view(jnp.int32),
-        image=jnp.stack(
-            [cols["ix"].view(jnp.int32), cols["iy"].view(jnp.int32), cols["iz"].view(jnp.int32)],
-            axis=-1,
-        ),
+        typeid=cols["typeid"],
+        image=jnp.stack([cols["ix"], cols["iy"], cols["iz"]], axis=-1),
         orientation=(
             f("qw", "qx", "qy", "qz")
             if "quat" in fields
@@ -335,14 +352,21 @@ def _bin_to_slots(state: State, spec: GridSpec, N_tags: int, fields: tuple):
     # of [n, K] compiles in <1s and runs at copy speed. When the combined
     # (cid, idx) key fits int32 a single fused key sorts ~2x faster still.
     idx = jnp.arange(n, dtype=jnp.int32)
-    if (spec.n_cells + 1) * n < 2**31:
-        key = cid * jnp.int32(n) + idx
+    # bit-packed fused key: cid in the high bits, row index low. Shift/mask
+    # recovery is exact integer math — int32 floor division here would be
+    # lowered through f32 on TPU and can round off by one near exact
+    # multiples, scattering particles into the wrong cell.
+    idx_bits = max(1, (n - 1).bit_length())
+    if (spec.n_cells + 1) << idx_bits < 2**31:
+        key = (cid << jnp.int32(idx_bits)) | idx
         key_s = jax.lax.sort(key)
-        cid_s = key_s // jnp.int32(n)
-        perm = key_s - cid_s * jnp.int32(n)
+        cid_s = key_s >> jnp.int32(idx_bits)
+        perm = key_s & jnp.int32((1 << idx_bits) - 1)
     else:
         cid_s, perm = jax.lax.sort([cid, idx], num_keys=1, is_stable=True)
-    packed_in = jnp.stack([cols[k] for k in names], axis=-1)  # [n, K]
+    packed_in = jnp.stack(
+        [_as_payload_int(k, cols[k]) for k in names], axis=-1
+    )  # [n, K] int32 (floats bitcast; see _INT_FIELDS note)
     packed_sorted = jnp.take(packed_in, perm, axis=0)
 
     # rank-in-cell = index minus index-of-first-equal-key, via a running max
@@ -363,9 +387,11 @@ def _bin_to_slots(state: State, spec: GridSpec, N_tags: int, fields: tuple):
     # one scatter of the packed payload rows
     packed = packed_sorted
     defaults = _payload_defaults(S + 1, state.box, spec, names)
-    base = jnp.stack([defaults[k] for k in names], axis=-1)  # [S+1, K]
+    base = jnp.stack(
+        [_as_payload_int(k, defaults[k]) for k in names], axis=-1
+    )  # [S+1, K] int32
     out = base.at[dest].set(packed, mode="drop")[:S]
-    new_cols = {k: out[:, i] for i, k in enumerate(names)}
+    new_cols = {k: _from_payload_int(k, out[:, i]) for i, k in enumerate(names)}
 
     dense = _state_from_payload(new_cols, state, state.box, fields)
     # tag -> slot map (scatter; empty tags dropped via clipped index)
@@ -407,12 +433,14 @@ def undensify(dense: State, N: int, fields: tuple = ALL_FIELDS) -> State:
     dense = dense.replace(position=pos_w, image=image_w)
     names = _payload_names(fields)
     cols = _per_particle_payload(dense, fields)
-    packed = jnp.stack([cols[k] for k in names], axis=-1)  # [S, K]
+    packed = jnp.stack(
+        [_as_payload_int(k, cols[k]) for k in names], axis=-1
+    )  # [S, K] int32
     dest = jnp.where(dense.tag >= 0, dense.tag, N)
-    out = jnp.zeros((N + 1, packed.shape[1]), jnp.float32).at[dest].set(
+    out = jnp.zeros((N + 1, packed.shape[1]), jnp.int32).at[dest].set(
         packed, mode="drop"
     )[:N]
-    new_cols = {k: out[:, i] for i, k in enumerate(names)}
+    new_cols = {k: _from_payload_int(k, out[:, i]) for i, k in enumerate(names)}
     state = _state_from_payload(new_cols, dense, dense.box, fields)
     return state
 
@@ -465,53 +493,85 @@ class JBlocks:
     preshifted: bool = static_field(default=True)
 
 
-def _roll_concat(arr, spec: GridSpec, offsets: np.ndarray, shifts=None):
+def _halo_pad(g, axis, shift_hi):
+    """Wrap-pad one cell-grid axis with its periodic images.
+
+    Prepends the last cell (shifted by ``-shift_hi``) and appends the
+    first cell (shifted by ``+shift_hi``) so that every +-1 stencil
+    offset becomes a *static slice* of the padded grid. ``shift_hi`` is
+    the lattice-vector component added when crossing the axis upward
+    (0 for non-coordinate payloads). Sequential padding of the three
+    axes composes corner shifts exactly (n1*a1 + n2*a2 + n3*a3).
+
+    Replaces jnp.roll per offset: rolls with mixed-sign multi-axis
+    shifts were observed miscompiling on TPU downstream of a lax.cond
+    (wrong neighbor data for (+1,-1,*) offsets -> missed pairs ->
+    exploding trajectories); pad+slice lowers to concatenate + static
+    slices, is immune, and does less copying.
+    """
+    D = g.shape[axis]
+    lo = jax.lax.slice_in_dim(g, D - 1, D, axis=axis)
+    hi = jax.lax.slice_in_dim(g, 0, 1, axis=axis)
+    if shift_hi is not None:
+        lo = lo - shift_hi
+        hi = hi + shift_hi
+    return jnp.concatenate([lo, g, hi], axis=axis)
+
+
+def _roll_concat(arr, spec: GridSpec, offsets: np.ndarray, axis_shifts=None):
     """[S] -> [n_stencil, n_cells, cap]: occupants of every stencil cell.
 
-    ``shifts``: optional per-offset [Dx, Dy, Dz]-broadcastable additive
-    periodic shifts (applied after the roll).
+    ``axis_shifts``: optional per-axis scalar lattice shifts for this
+    coordinate component (see _halo_pad); None for non-coordinate data.
     """
     Dx, Dy, Dz = spec.dims
     g = arr.reshape(Dx, Dy, Dz, spec.cap)
+    for ax in range(3):
+        s = axis_shifts[ax] if axis_shifts is not None else None
+        g = _halo_pad(g, ax, s)
     blocks = []
-    for k, o in enumerate(offsets):
-        b = jnp.roll(g, shift=(-int(o[0]), -int(o[1]), -int(o[2])), axis=(0, 1, 2))
-        if shifts is not None:
-            b = b + shifts[k][..., None]
-        blocks.append(b)
+    for o in offsets:
+        o0, o1, o2 = int(o[0]) + 1, int(o[1]) + 1, int(o[2]) + 1
+        blocks.append(
+            jax.lax.slice(
+                g,
+                (o0, o1, o2, 0),
+                (o0 + Dx, o1 + Dy, o2 + Dz, spec.cap),
+            )
+        )
     return jnp.stack(blocks, axis=0).reshape(len(blocks), spec.n_cells, spec.cap)
 
 
-def _wrap_counts(offsets: np.ndarray, dims) -> list:
-    """Per-offset, per-axis wrap counts n in {-1,0,1}: cell c pulls data
-    from cell (c+o) mod D; n[c] = floor((c+o)/D) marks where the roll
-    crossed the periodic boundary."""
-    out = []
-    for o in offsets:
-        ns = []
-        for a in range(3):
-            c = np.arange(dims[a])
-            ns.append(np.floor_divide(c + int(o[a]), dims[a]).astype(np.float32))
-        out.append(ns)
-    return out
-
-
-def _shift_tables(offsets: np.ndarray, spec: GridSpec, box: Box):
-    """Additive coordinate shifts [n_off][Dx,Dy,Dz] for pre-shifted rolls.
+def _axis_shift_tables(box: Box):
+    """Per-component, per-axis lattice shift scalars for the halo pad.
 
     Lattice vectors follow the HOOMD triclinic convention: a1=(Lx,0,0),
-    a2=(xy*Ly, Ly, 0), a3=(xz*Lz, yz*Lz, Lz)."""
+    a2=(xy*Ly, Ly, 0), a3=(xz*Lz, yz*Lz, Lz). Crossing grid axis a in
+    the + direction adds a_{a+1}; the halo pad applies the sign.
+    """
     Lx, Ly, Lz = box.L[0], box.L[1], box.L[2]
     xy, xz, yz = box.tilt[0], box.tilt[1], box.tilt[2]
-    sx, sy, sz = [], [], []
-    for nx, ny, nz in _wrap_counts(offsets, spec.dims):
-        gx = jnp.asarray(nx)[:, None, None]
-        gy = jnp.asarray(ny)[None, :, None]
-        gz = jnp.asarray(nz)[None, None, :]
-        sx.append(gx * Lx + gy * (xy * Ly) + gz * (xz * Lz))
-        sy.append(gy * Ly + gz * (yz * Lz))
-        sz.append(gz * Lz)
+    sx = (Lx, xy * Ly, xz * Lz)
+    sy = (None, Ly, yz * Lz)
+    sz = (None, None, Lz)
     return sx, sy, sz
+
+
+def _roll_cells(a, spec: GridSpec, shift):
+    """``jnp.roll(a, +shift, axes=(0,1,2))`` via wrap-pad + static slice.
+
+    Used to un-roll Newton j-side accumulators back to their true cells
+    (roll avoided for the same TPU miscompile described in _halo_pad).
+    ``a``: [Dx, Dy, Dz, ...]; shift: length-3 ints in {-1, 0, 1}.
+    """
+    Dx, Dy, Dz = spec.dims
+    g = a
+    for ax in range(3):
+        g = _halo_pad(g, ax, None)
+    s = tuple(1 - int(shift[k]) for k in range(3))
+    starts = s + (0,) * (a.ndim - 3)
+    limits = (s[0] + Dx, s[1] + Dy, s[2] + Dz) + a.shape[3:]
+    return jax.lax.slice(g, starts, limits)
 
 
 def make_jblocks(
@@ -526,7 +586,7 @@ def make_jblocks(
     offsets = spec.half_stencil() if half else spec.stencil()
     preshifted = spec.newton_ok  # every axis >= 3 cells
     if preshifted:
-        sx, sy, sz = _shift_tables(offsets, spec, dense.box)
+        sx, sy, sz = _axis_shift_tables(dense.box)
     else:
         sx = sy = sz = None
     kw = dict(
@@ -759,6 +819,19 @@ def dense_pair_force(
     # Newton half-stencil: each unordered pair is evaluated once and the
     # force/energy/virial are scattered to both members (the j side in the
     # rolled frame, un-rolled with the positive offset after the scan).
+    #
+    # Hot case (force-only, maskless sentinels, one type, force unchanged
+    # by the shift mode): hand off to the Pallas kernel, which evaluates
+    # both Newton sides in one VMEM-resident pass (ops/pallas_pair.py).
+    if want == "force" and not masked and T == 1 and mode != "xplor":
+        from . import pallas_pair as PP
+
+        pmode = PP.pallas_mode()
+        if pmode is not None:
+            return _pallas_half_pair_force(
+                energy_force_fn, dense, jb, spec, tables, r_cut_table,
+                interpret=(pmode == "interpret"),
+            )
     C, cap = spec.n_cells, spec.cap
     Dx, Dy, Dz = spec.dims
     offsets = spec.half_stencil()
@@ -830,12 +903,62 @@ def dense_pair_force(
     # un-roll the per-offset j-side sums back to their true cells
     g = ys.reshape(len(offsets), Dx, Dy, Dz, cap, n_acc)
     for k, o in enumerate(offsets):
-        jacc = jacc + jnp.roll(
-            g[k], shift=(int(o[0]), int(o[1]), int(o[2])), axis=(0, 1, 2)
-        ).reshape(C, cap, n_acc)
+        jacc = jacc + _roll_cells(g[k], spec, o).reshape(C, cap, n_acc)
 
     total = tuple(carry[i] + jacc[..., i] for i in range(n_acc))
     return _finish_pair(total, spec.S)
+
+
+def _pallas_half_pair_force(
+    energy_force_fn, dense: State, jb: JBlocks, spec: GridSpec,
+    tables: dict, r_cut_table, interpret: bool = False,
+):
+    """Half-stencil single-type maskless pair force via the Pallas kernel.
+
+    Physics identical to the XLA half-stencil branch of dense_pair_force;
+    only the execution schedule differs (see ops/pallas_pair.py).
+    """
+    from . import pallas_pair as PP
+    from .pair_force import ForceResult
+
+    C, cap = spec.n_cells, spec.cap
+    Dx, Dy, Dz = spec.dims
+    offsets = spec.half_stencil()
+    n_seg = len(offsets) + 1
+    keys = sorted(tables)
+    rcutsq = (r_cut_table * r_cut_table).reshape(())
+    scalars = [tables[k].reshape(()) for k in keys] + [rcutsq]
+
+    def f_divr(rsq, svals):
+        p = dict(zip(keys, svals))
+        rcs = svals[-1]
+        _, f = energy_force_fn(rsq, rcs, p)
+        return jnp.where(rsq < rcs, f, 0.0)
+
+    # J rows: self cell first, then the 13 pre-shifted half-stencil rolls
+    comps = [dense.position[:, k].reshape(C, cap) for k in range(3)]
+    jarrs = [jb.x, jb.y, jb.z]
+    jts = [
+        jnp.concatenate([c.reshape(1, C, cap), arr], axis=0)
+        .transpose(0, 2, 1)
+        .reshape(n_seg * cap, C)
+        for c, arr in zip(comps, jarrs)
+    ]
+    its = [c.T for c in comps]
+    fi, fj = PP.stencil_pair_force_kernel(
+        f_divr, scalars, *its, *jts, interpret=interpret
+    )
+
+    force = [a.T.reshape(C * cap) for a in fi]
+    for k3 in range(3):
+        g = fj[k3].reshape(n_seg, cap, C).transpose(0, 2, 1)  # [n_seg, C, cap]
+        acc = g[0]  # self cell: already in its true cell
+        for k, o in enumerate(offsets):
+            acc = acc + _roll_cells(
+                g[k + 1].reshape(Dx, Dy, Dz, cap), spec, o
+            ).reshape(C, cap)
+        force[k3] = force[k3] + acc.reshape(C * cap)
+    return ForceResult(force=jnp.stack(force, axis=-1), energy=None, virial=None)
 
 
 def dense_dpd_force(

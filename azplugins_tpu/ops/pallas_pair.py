@@ -1,0 +1,166 @@
+"""Pallas TPU kernel for the dense-stencil pair force (the hot op).
+
+Replaces the XLA scan in ops/dense.dense_pair_force for the hot case
+(want="force", maskless sentinel path, single particle type): one Mosaic
+kernel computes BOTH Newton sides of every pair in a single pass over the
+half-stencil J blocks, with accumulators resident in VMEM.
+
+Layout is chosen for the VPU's (8 sublanes, 128 lanes) tiles:
+
+  * arrays are **cell-minor** ``[rows, C]`` — lanes run over cells, so any
+    cap (i-rows) and any J (stencil rows) give full lane utilization with
+    zero padding waste (C is padded to a multiple of the 128-lane block
+    once, with far-sentinel cells that interact with nothing);
+  * the kernel loops over i-slots; each iteration evaluates one i-row
+    against the whole ``[J, CB]`` j-block — ~J/8 * CB/128 hardware tiles
+    of perfectly regular work, no gathers, no masks except the cutoff
+    compare (empty slots sit at far sentinel coordinates) and the
+    self-cell triangle (Newton: each unordered pair evaluated once).
+
+The J axis is the flattened half stencil: rows [0, cap) are the self
+cell (strict upper triangle), rows [k*cap, (k+1)*cap) the k-th positive
+offset's cells, pre-shifted by the periodic lattice vector (dense.py
+``_axis_shift_tables``), so ``xi - jx`` is the true separation with no
+minimum-image math (reference force loop: HOOMD PotentialPair evaluator
+protocol, see /root/reference/src/PairEvaluator.h:67-140).
+
+The j-side partial sums come back in the rolled frame ``[J, C]``; the
+caller un-rolls them with the inverse stencil rolls (cheap XLA copies).
+"""
+
+from __future__ import annotations
+
+import functools
+import os
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+__all__ = ["stencil_pair_force_kernel", "has_tpu", "pallas_mode"]
+
+
+@functools.cache
+def has_tpu() -> bool:
+    try:
+        return jax.devices()[0].platform == "tpu"
+    except Exception:
+        return False
+
+
+def pallas_mode() -> str | None:
+    """Kernel dispatch policy: "compiled" on TPU, "interpret" when forced
+    via AZTPU_PALLAS=1 off-TPU (tests), None to use the XLA path."""
+    env = os.environ.get("AZTPU_PALLAS", "auto")
+    if env == "0":
+        return None
+    if has_tpu():
+        return "compiled"
+    if env == "1":
+        return "interpret"
+    return None
+
+
+def _kernel(eval_f_divr, cap, J, CB, n_sc, sc_ref, xi_ref, yi_ref, zi_ref,
+            jx_ref, jy_ref, jz_ref,
+            fxi_ref, fyi_ref, fzi_ref, fxj_ref, fyj_ref, fzj_ref):
+    svals = [sc_ref[k, 0] for k in range(n_sc)]
+    # self-cell row index within the J axis (rows [0, cap) are the self
+    # cell); used for the Newton strict-upper-triangle mask
+    jrow = jax.lax.broadcasted_iota(jnp.int32, (J, CB), 0)
+
+    fxj_ref[:] = jnp.zeros((J, CB), jnp.float32)
+    fyj_ref[:] = jnp.zeros((J, CB), jnp.float32)
+    fzj_ref[:] = jnp.zeros((J, CB), jnp.float32)
+
+    jx = jx_ref[:]
+    jy = jy_ref[:]
+    jz = jz_ref[:]
+
+    def body(s, _):
+        dx = xi_ref[s, :][None, :] - jx
+        dy = yi_ref[s, :][None, :] - jy
+        dz = zi_ref[s, :][None, :] - jz
+        rsq = dx * dx + dy * dy + dz * dz
+        f = eval_f_divr(rsq, svals)
+        # self-cell: evaluate each unordered pair once (j > s strictly);
+        # rows >= cap are other cells of the half stencil (all pairs kept)
+        keep = jrow > s
+        f = jnp.where(keep | (jrow >= cap), f, 0.0)
+        fx = f * dx
+        fy = f * dy
+        fz = f * dz
+        fxi_ref[s, :] = jnp.sum(fx, axis=0)
+        fyi_ref[s, :] = jnp.sum(fy, axis=0)
+        fzi_ref[s, :] = jnp.sum(fz, axis=0)
+        fxj_ref[:] = fxj_ref[:] - fx
+        fyj_ref[:] = fyj_ref[:] - fy
+        fzj_ref[:] = fzj_ref[:] - fz
+        return 0
+
+    jax.lax.fori_loop(0, cap, body, 0)
+
+
+def stencil_pair_force_kernel(
+    eval_f_divr,
+    scalars,            # sequence of f32 scalars (potential parameters)
+    xi_t, yi_t, zi_t,   # [cap, C] f32, cell-minor i coordinates
+    jx_t, jy_t, jz_t,   # [J, C] f32, flattened pre-shifted half stencil
+    *,
+    cell_block: int = 128,
+    interpret: bool = False,
+):
+    """Run the stencil pair kernel. Returns (fi, fj) as cell-minor arrays.
+
+    ``eval_f_divr(rsq, svals) -> force/r`` must be a pure elementwise jnp
+    function of rsq and the scalar parameter list (cutoff included: it
+    must return 0 beyond r_cut — sentinel coordinates give huge rsq, so
+    no validity masks are needed). Parameters arrive through SMEM so the
+    kernel captures no traced constants.
+    """
+    sc = jnp.stack(
+        [jnp.asarray(s, jnp.float32).reshape(()) for s in scalars]
+    ).reshape(-1, 1)
+    n_sc = sc.shape[0]
+    cap, C = xi_t.shape
+    J = jx_t.shape[0]
+    CB = int(cell_block)
+    Cp = ((C + CB - 1) // CB) * CB
+    if Cp != C:
+        # pad cells with far sentinels (monotone per slot, > any real
+        # coordinate): padded cells interact with nothing
+        def padi(a, fill):
+            return jnp.pad(a, ((0, 0), (0, Cp - C)), constant_values=fill)
+
+        big = jnp.float32(1.0e18)
+        xi_t, yi_t, zi_t = padi(xi_t, big), padi(yi_t, 0.0), padi(zi_t, 0.0)
+        jx_t, jy_t, jz_t = padi(jx_t, -big), padi(jy_t, 0.0), padi(jz_t, 0.0)
+
+    grid = (Cp // CB,)
+
+    def ispec():
+        return pl.BlockSpec((cap, CB), lambda i: (0, i), memory_space=pltpu.VMEM)
+
+    def jspec():
+        return pl.BlockSpec((J, CB), lambda i: (0, i), memory_space=pltpu.VMEM)
+
+    kern = functools.partial(_kernel, eval_f_divr, cap, J, CB, n_sc)
+    scspec = pl.BlockSpec((n_sc, 1), lambda i: (0, 0), memory_space=pltpu.SMEM)
+    out = pl.pallas_call(
+        kern,
+        grid=grid,
+        in_specs=[scspec] + [ispec()] * 3 + [jspec()] * 3,
+        out_specs=[ispec()] * 3 + [jspec()] * 3,
+        out_shape=(
+            [jax.ShapeDtypeStruct((cap, Cp), jnp.float32)] * 3
+            + [jax.ShapeDtypeStruct((J, Cp), jnp.float32)] * 3
+        ),
+        interpret=interpret,
+    )(sc, xi_t, yi_t, zi_t, jx_t, jy_t, jz_t)
+    fxi, fyi, fzi, fxj, fyj, fzj = out
+    if Cp != C:
+        fxi, fyi, fzi = fxi[:, :C], fyi[:, :C], fzi[:, :C]
+        fxj, fyj, fzj = fxj[:, :C], fyj[:, :C], fzj[:, :C]
+    return (fxi, fyi, fzi), (fxj, fyj, fzj)
