@@ -29,6 +29,15 @@ Quick start::
     sim.run(1000)
 """
 
+import jax as _jax
+
+# MD physics must never run through silently-degraded matmuls: TPU
+# default-precision f32 dots round operands to bf16 on the MXU (this
+# teleported boundary-crossing particles by ~0.4% of the box until
+# core/box.py went matmul-free). The engine itself avoids matmuls on
+# physical data; this guard protects observables and future code.
+_jax.config.update("jax_default_matmul_precision", "highest")
+
 from . import compute, external, flow, io, md, ops, update, write
 from .core import Box, Snapshot, State, variant
 from .md import bond, pair

@@ -106,11 +106,32 @@ class Box:
         fx = (r[..., 0] - xy * Ly * fy - xz * Lz * fz) / Lx
         return jnp.stack([fx, fy, fz], axis=-1)
 
+    def _lattice_shift(self, s: jnp.ndarray) -> jnp.ndarray:
+        """``s @ h.T`` written componentwise.
+
+        NEVER use a matmul here: on TPU, default-precision f32 matmuls
+        round the operands to bf16 on the MXU, so box lengths that are
+        not exactly bf16-representable (e.g. the 64k bench's L=42.1727 ->
+        42.25) teleport every boundary-crossing particle by ~0.4% of L.
+        That silently pumped energy into trajectories and created
+        overlapping phantom pairs. Componentwise VPU multiplies are
+        exactly rounded f32.
+        """
+        Lx, Ly, Lz = self.L[0], self.L[1], self.L[2]
+        xy, xz, yz = self.tilt[0], self.tilt[1], self.tilt[2]
+        sx, sy, sz = s[..., 0], s[..., 1], s[..., 2]
+        return jnp.stack(
+            [
+                sx * Lx + sy * (xy * Ly) + sz * (xz * Lz),
+                sy * Ly + sz * (yz * Lz),
+                sz * Lz,
+            ],
+            axis=-1,
+        )
+
     def make_coordinates(self, f: jnp.ndarray) -> jnp.ndarray:
         """Inverse of :meth:`fraction` shifted so f in [0,1] spans the box."""
-        f = f - 0.5
-        h = self.matrix()
-        return f @ h.T
+        return self._lattice_shift(f - 0.5)
 
     # -- periodic operations ------------------------------------------------
     def wrap(self, r: jnp.ndarray, image: jnp.ndarray | None = None):
@@ -126,8 +147,7 @@ class Box:
         """
         f = self.fraction(r)
         shift = jnp.floor(f + 0.5).astype(jnp.int32)
-        h = self.matrix()
-        wrapped = r - shift.astype(r.dtype) @ h.T
+        wrapped = r - self._lattice_shift(shift.astype(r.dtype))
         if image is None:
             image = shift
         else:
@@ -136,10 +156,9 @@ class Box:
 
     def min_image(self, dr: jnp.ndarray) -> jnp.ndarray:
         """Minimum-image displacement for ``dr = r_i - r_j`` (orthorhombic+tilt)."""
-        h = self.matrix()
         f = self.fraction(dr)
         shift = jnp.round(f)
-        return dr - shift.astype(dr.dtype) @ h.T
+        return dr - self._lattice_shift(shift.astype(dr.dtype))
 
     def min_image_components(self, dx, dy, dz):
         """Minimum image on separate x/y/z component arrays.
@@ -168,6 +187,7 @@ class Box:
 
         def dist(u, v, w):
             n = jnp.cross(v, w)
-            return jnp.abs(jnp.dot(u, n)) / jnp.linalg.norm(n)
+            # elementwise dot: keep this off the MXU (see _lattice_shift)
+            return jnp.abs(jnp.sum(u * n)) / jnp.linalg.norm(n)
 
         return jnp.stack([dist(a, b, c), dist(b, c, a), dist(c, a, b)])

@@ -33,6 +33,7 @@ trajectories are bitwise independent of the layout.
 from __future__ import annotations
 
 import math
+import os
 
 import jax
 import jax.numpy as jnp
@@ -357,7 +358,8 @@ def _bin_to_slots(state: State, spec: GridSpec, N_tags: int, fields: tuple):
     # lowered through f32 on TPU and can round off by one near exact
     # multiples, scattering particles into the wrong cell.
     idx_bits = max(1, (n - 1).bit_length())
-    if (spec.n_cells + 1) << idx_bits < 2**31:
+    use_fused = os.environ.get("AZTPU_FUSED_KEY", "1") != "0"
+    if use_fused and (spec.n_cells + 1) << idx_bits < 2**31:
         key = (cid << jnp.int32(idx_bits)) | idx
         key_s = jax.lax.sort(key)
         cid_s = key_s >> jnp.int32(idx_bits)

@@ -12,10 +12,13 @@ Layout is chosen for the VPU's (8 sublanes, 128 lanes) tiles:
     zero padding waste (C is padded to a multiple of the 128-lane block
     once, with far-sentinel cells that interact with nothing);
   * the kernel loops over i-slots; each iteration evaluates one i-row
-    against the whole ``[J, CB]`` j-block — ~J/8 * CB/128 hardware tiles
-    of perfectly regular work, no gathers, no masks except the cutoff
-    compare (empty slots sit at far sentinel coordinates) and the
-    self-cell triangle (Newton: each unordered pair evaluated once).
+    against a ``[J_seg, CB]`` j-block — perfectly regular tiles, no
+    gathers, no masks except the cutoff compare (empty slots sit at far
+    sentinel coordinates) and the self-cell triangle (Newton: each
+    unordered pair evaluated once);
+  * the J axis is split into segments on a second grid dimension so the
+    working set fits VMEM for any cell capacity; the i-side output block
+    is revisited across segments and accumulated in place.
 
 The J axis is the flattened half stencil: rows [0, cap) are the self
 cell (strict upper triangle), rows [k*cap, (k+1)*cap) the k-th positive
@@ -25,7 +28,7 @@ minimum-image math (reference force loop: HOOMD PotentialPair evaluator
 protocol, see /root/reference/src/PairEvaluator.h:67-140).
 
 The j-side partial sums come back in the rolled frame ``[J, C]``; the
-caller un-rolls them with the inverse stencil rolls (cheap XLA copies).
+caller un-rolls them with the inverse stencil slices (cheap XLA copies).
 """
 
 from __future__ import annotations
@@ -40,6 +43,11 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 __all__ = ["stencil_pair_force_kernel", "has_tpu", "pallas_mode"]
+
+_SENTINEL = 1.0e18
+# scoped VMEM budget for choosing the J-segment size (the hardware limit
+# is 16M; leave headroom for Mosaic's own temporaries)
+_VMEM_BUDGET = 10 * 1024 * 1024
 
 
 @functools.cache
@@ -63,17 +71,19 @@ def pallas_mode() -> str | None:
     return None
 
 
-def _kernel(eval_f_divr, cap, J, CB, n_sc, sc_ref, xi_ref, yi_ref, zi_ref,
-            jx_ref, jy_ref, jz_ref,
-            fxi_ref, fyi_ref, fzi_ref, fxj_ref, fyj_ref, fzj_ref):
+def _kernel(eval_f_divr, cap, Jseg, CB, n_sc, sc_ref,
+            xi_ref, yi_ref, zi_ref, jx_ref, jy_ref, jz_ref,
+            fxi_ref, fyi_ref, fzi_ref, fxj_ref, fyj_ref, fzj_ref,
+            sxi_ref, syi_ref, szi_ref):
     svals = [sc_ref[k, 0] for k in range(n_sc)]
-    # self-cell row index within the J axis (rows [0, cap) are the self
-    # cell); used for the Newton strict-upper-triangle mask
-    jrow = jax.lax.broadcasted_iota(jnp.int32, (J, CB), 0)
+    kseg = pl.program_id(1)
+    # global row index within the full J axis: rows [0, cap) are the self
+    # cell (Newton strict-upper-triangle mask)
+    jrow = kseg * Jseg + jax.lax.broadcasted_iota(jnp.int32, (Jseg, CB), 0)
 
-    fxj_ref[:] = jnp.zeros((J, CB), jnp.float32)
-    fyj_ref[:] = jnp.zeros((J, CB), jnp.float32)
-    fzj_ref[:] = jnp.zeros((J, CB), jnp.float32)
+    fxj_ref[:] = jnp.zeros((Jseg, CB), jnp.float32)
+    fyj_ref[:] = jnp.zeros((Jseg, CB), jnp.float32)
+    fzj_ref[:] = jnp.zeros((Jseg, CB), jnp.float32)
 
     jx = jx_ref[:]
     jy = jy_ref[:]
@@ -87,20 +97,50 @@ def _kernel(eval_f_divr, cap, J, CB, n_sc, sc_ref, xi_ref, yi_ref, zi_ref,
         f = eval_f_divr(rsq, svals)
         # self-cell: evaluate each unordered pair once (j > s strictly);
         # rows >= cap are other cells of the half stencil (all pairs kept)
-        keep = jrow > s
-        f = jnp.where(keep | (jrow >= cap), f, 0.0)
+        f = jnp.where((jrow > s) | (jrow >= cap), f, 0.0)
         fx = f * dx
         fy = f * dy
         fz = f * dz
-        fxi_ref[s, :] = jnp.sum(fx, axis=0)
-        fyi_ref[s, :] = jnp.sum(fy, axis=0)
-        fzi_ref[s, :] = jnp.sum(fz, axis=0)
+        sxi_ref[s, :] = jnp.sum(fx, axis=0)
+        syi_ref[s, :] = jnp.sum(fy, axis=0)
+        szi_ref[s, :] = jnp.sum(fz, axis=0)
         fxj_ref[:] = fxj_ref[:] - fx
         fyj_ref[:] = fyj_ref[:] - fy
         fzj_ref[:] = fzj_ref[:] - fz
         return 0
 
     jax.lax.fori_loop(0, cap, body, 0)
+
+    # merge this segment's i-side partials; the fi block is revisited
+    # across the (innermost) segment grid dimension
+    @pl.when(kseg == 0)
+    def _():
+        fxi_ref[:] = sxi_ref[:]
+        fyi_ref[:] = syi_ref[:]
+        fzi_ref[:] = szi_ref[:]
+
+    @pl.when(kseg > 0)
+    def _():
+        fxi_ref[:] = fxi_ref[:] + sxi_ref[:]
+        fyi_ref[:] = fyi_ref[:] + syi_ref[:]
+        fzi_ref[:] = fzi_ref[:] + szi_ref[:]
+
+
+def _choose_jseg(J, cap, CB):
+    """Largest J segment (multiple of cap) whose working set fits VMEM.
+
+    Per-block VMEM ~ 4*CB*(2*3*(Jseg+cap) double-buffered io + ~8*Jseg
+    temporaries + 3*cap scratch).
+    """
+    n_seg = J // cap
+    for parts in range(1, n_seg + 1):
+        if n_seg % parts:
+            continue
+        jseg = J // parts
+        need = 4 * CB * (6 * (jseg + cap) + 8 * jseg + 3 * cap)
+        if need <= _VMEM_BUDGET:
+            return jseg
+    return cap
 
 
 def stencil_pair_force_kernel(
@@ -129,25 +169,28 @@ def stencil_pair_force_kernel(
     CB = int(cell_block)
     Cp = ((C + CB - 1) // CB) * CB
     if Cp != C:
-        # pad cells with far sentinels (monotone per slot, > any real
-        # coordinate): padded cells interact with nothing
+        # pad cells with far sentinels (opposite signs so pad-pad and
+        # pad-real distances are all huge): padded cells interact with
+        # nothing and their outputs are sliced off
         def padi(a, fill):
             return jnp.pad(a, ((0, 0), (0, Cp - C)), constant_values=fill)
 
-        big = jnp.float32(1.0e18)
+        big = jnp.float32(_SENTINEL)
         xi_t, yi_t, zi_t = padi(xi_t, big), padi(yi_t, 0.0), padi(zi_t, 0.0)
         jx_t, jy_t, jz_t = padi(jx_t, -big), padi(jy_t, 0.0), padi(jz_t, 0.0)
 
-    grid = (Cp // CB,)
+    Jseg = _choose_jseg(J, cap, CB)
+    n_jseg = J // Jseg
+    grid = (Cp // CB, n_jseg)
 
     def ispec():
-        return pl.BlockSpec((cap, CB), lambda i: (0, i), memory_space=pltpu.VMEM)
+        return pl.BlockSpec((cap, CB), lambda i, k: (0, i), memory_space=pltpu.VMEM)
 
     def jspec():
-        return pl.BlockSpec((J, CB), lambda i: (0, i), memory_space=pltpu.VMEM)
+        return pl.BlockSpec((Jseg, CB), lambda i, k: (k, i), memory_space=pltpu.VMEM)
 
-    kern = functools.partial(_kernel, eval_f_divr, cap, J, CB, n_sc)
-    scspec = pl.BlockSpec((n_sc, 1), lambda i: (0, 0), memory_space=pltpu.SMEM)
+    kern = functools.partial(_kernel, eval_f_divr, cap, Jseg, CB, n_sc)
+    scspec = pl.BlockSpec((n_sc, 1), lambda i, k: (0, 0), memory_space=pltpu.SMEM)
     out = pl.pallas_call(
         kern,
         grid=grid,
@@ -157,6 +200,7 @@ def stencil_pair_force_kernel(
             [jax.ShapeDtypeStruct((cap, Cp), jnp.float32)] * 3
             + [jax.ShapeDtypeStruct((J, Cp), jnp.float32)] * 3
         ),
+        scratch_shapes=[pltpu.VMEM((cap, CB), jnp.float32)] * 3,
         interpret=interpret,
     )(sc, xi_t, yi_t, zi_t, jx_t, jy_t, jz_t)
     fxi, fyi, fzi, fxj, fyj, fzj = out

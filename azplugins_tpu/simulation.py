@@ -8,9 +8,13 @@ methods.step1 -> neighbor check/rebuild -> force computes -> methods.step2
 
 Execution layout: the hot loop runs in the *dense cell-grid* layout
 (ops/dense.py) — particles sorted into cell slots, stencil neighbors read
-by rolls, rebinning gated by ``lax.cond`` on the Verlet-buffer check. The
-user-facing tag-ordered State is materialized lazily (once per run/
-observable access), so layout conversions never sit on the step path.
+from a halo-padded grid. Rebinning happens UNCONDITIONALLY every
+``seg_len`` steps (no ``lax.cond`` anywhere in the compiled loop — see
+run_chunk for the TPU miscompilation that forced this); the Verlet-buffer
+check only raises a violation flag that the host answers by halving
+``seg_len`` and replaying the chunk. The user-facing tag-ordered State is
+materialized lazily (once per run/observable access), so layout
+conversions never sit on the step path.
 
 Capacity overflow cannot resize under jit, so chunks are transactional:
 the host inspects the overflow flag after each chunk and, on overflow,
@@ -135,6 +139,11 @@ class Simulation:
         self._bound_fp = None
         self._fields: tuple = D.ALL_FIELDS  # rebin payload columns (static)
         self.max_chunk = 1000
+        # rebuild interval: neighbor structure rebuilds at every timestep
+        # divisible by _seg_len (absolute schedule; run() halves it when
+        # the Verlet drift check flags a violation and replays)
+        self._seg_len = 10
+        self._updater_jit: dict = {}
 
     # -- state management ------------------------------------------------
     def create_state_from_snapshot(self, snapshot: Snapshot):
@@ -332,34 +341,86 @@ class Simulation:
             return net
 
         def one_step(dense, meta, t, tbls):
+            """One MD step with NO neighbor rebuild (runs inside a segment)."""
             for m in methods:
                 dense = m.step1(dense, dt, t, seed)
-            if spec is not None:
-                dense, meta = jax.lax.cond(
-                    D.needs_rebin(dense, meta, spec),
-                    lambda args: D.rebin(args[0], args[1], spec, N_tags, fields),
-                    lambda args: args,
-                    (dense, meta),
-                )
-                slot_of = meta.slot_of
-            else:
-                slot_of = None
+            slot_of = meta.slot_of if spec is not None else None
             net = compute_net(dense, slot_of, t, tbls)
             dense = dense.replace(net_force=net)
             for m in methods:
                 dense = m.step2(dense, dt, t, seed)
-            for u in updaters:
-                dense = jax.lax.cond(
-                    u.trigger(t), lambda s: u._update(s, t, seed), lambda s: s, dense
-                )
             return dense, meta
 
-        def run_chunk(dense, meta, t0, n_steps, tbls):
-            def body(i, carry):
-                d, mt = carry
-                return one_step(d, mt, t0 + i, tbls)
+        # The chunk is segmented: every segment REBINS UNCONDITIONALLY and
+        # then runs up to `seg_len` steps that only *check* the Verlet
+        # drift, OR-ing a violation flag into the carry. The host halves
+        # seg_len and replays the chunk transactionally when the flag
+        # fires (Simulation.run), exactly like capacity overflow.
+        #
+        # Rationale: the original design used
+        # lax.cond(needs_rebin, rebin, identity) inside the step — the
+        # semantically ideal form — but XLA:TPU was observed to miscompile
+        # data movement downstream of such large-branch conditionals in
+        # while loops (wrong stencil neighbor data -> silently missed
+        # pair forces -> exploding trajectories; first seen with
+        # jnp.roll, then again at other grid shapes). With unconditional
+        # segment rebins the compiled graph contains no conditionals at
+        # all.
+        #
+        # Rebuilds sit on the ABSOLUTE schedule t % seg_len == 0 (not
+        # chunk-relative): the host aligns chunk boundaries to the
+        # schedule (run()), so trajectories stay bitwise independent of
+        # how run() calls are chunked. ``rebin_first`` is a static flag:
+        # True for schedule-aligned chunks (every segment starts with a
+        # rebuild), False for the partial continuation chunk right after
+        # an unaligned stop (its rebuild already happened in the
+        # previous chunk).
+        def run_chunk(dense, meta, t0, n_steps, seg_len, tbls, rebin_first=True):
+            if spec is None:
+                def body(i, carry):
+                    d, mt = carry
+                    return one_step(d, mt, t0 + i, tbls)
 
-            return jax.lax.fori_loop(0, n_steps, body, (dense, meta))
+                dense, meta = jax.lax.fori_loop(0, n_steps, body, (dense, meta))
+                return dense, meta, jnp.asarray(False)
+
+            def step_body(k, carry):
+                d, mt, start, viol = carry
+                t = t0 + start + k
+                for m in methods:
+                    d = m.step1(d, dt, t, seed)
+                # the drift check against the rebuild-reference positions;
+                # k == 0 after a fresh rebuild cannot violate unless a
+                # particle crosses half the margin in one step
+                viol = viol | D.needs_rebin(d, mt, spec)
+                net = compute_net(d, mt.slot_of, t, tbls)
+                d = d.replace(net_force=net)
+                for m in methods:
+                    d = m.step2(d, dt, t, seed)
+                return d, mt, start, viol
+
+            if not rebin_first:
+                d, mt, _, viol = jax.lax.fori_loop(
+                    0, n_steps, step_body,
+                    (dense, meta, jnp.int32(0), jnp.asarray(False)),
+                )
+                return d, mt, viol
+
+            def seg_body(s, carry):
+                d, mt, viol = carry
+                start = s * seg_len
+                steps = jnp.minimum(seg_len, n_steps - start)
+                d, mt = D.rebin(d, mt, spec, N_tags, fields)
+                d, mt, _, viol = jax.lax.fori_loop(
+                    0, steps, step_body, (d, mt, start, viol)
+                )
+                return d, mt, viol
+
+            n_segs = (n_steps + seg_len - 1) // seg_len
+            dense, meta, viol = jax.lax.fori_loop(
+                0, n_segs, seg_body, (dense, meta, jnp.asarray(False))
+            )
+            return dense, meta, viol
 
         self._run_chunk_impl = run_chunk
         self._compute_net = compute_net
@@ -368,6 +429,7 @@ class Simulation:
         self._run_chunk_bound = None
         self._bound_fp = None
         self._single_force_jit = {}
+        self._updater_jit = {}
 
     @staticmethod
     def _tables_fingerprint(tbls):
@@ -387,15 +449,19 @@ class Simulation:
         impl = self._run_chunk_impl
         const_tbls = jax.tree_util.tree_map(jnp.asarray, tbls)
         self._run_chunk_bound = jax.jit(
-            lambda dense, meta, t0, n_steps: impl(dense, meta, t0, n_steps, const_tbls)
+            lambda dense, meta, t0, n_steps, seg_len, rebin_first: impl(
+                dense, meta, t0, n_steps, seg_len, const_tbls,
+                rebin_first=rebin_first,
+            ),
+            static_argnums=(5,),
         )
         self._bound_fp = self._tables_fingerprint(tbls)
 
-    def _run_chunk(self, dense, meta, t0, n_steps, tbls):
+    def _run_chunk(self, dense, meta, t0, n_steps, seg_len, tbls, rebin_first=True):
         fp = self._tables_fingerprint(tbls)
         if self._run_chunk_bound is None or fp != self._bound_fp:
             self._bind_tables(tbls)
-        return self._run_chunk_bound(dense, meta, t0, n_steps)
+        return self._run_chunk_bound(dense, meta, t0, n_steps, seg_len, rebin_first)
 
     # -- dense layout management ---------------------------------------------
     def _identity_meta(self, state: State) -> D.GridMeta:
@@ -481,6 +547,35 @@ class Simulation:
         self._prepared = True
 
     # -- running -------------------------------------------------------------
+    def _updater_next_fire(self, t: int) -> int | None:
+        from .write import _next_fire
+
+        pts = [
+            p
+            for p in (
+                _next_fire(u.trigger, t) for u in self.operations.updaters
+            )
+            if p is not None
+        ]
+        return min(pts) if pts else None
+
+    def _fire_updaters(self, t: int):
+        """Apply updaters whose trigger fires at step index ``t`` (host
+        boundary: chunks are split so the step loop itself contains no
+        trigger conditionals — see run_chunk)."""
+        from .write import _next_fire
+
+        for i, u in enumerate(self.operations.updaters):
+            if _next_fire(u.trigger, t) != t:
+                continue
+            fn = self._updater_jit.get(i)
+            if fn is None:
+                fn = self._updater_jit[i] = jax.jit(
+                    lambda dense, tt, u=u: u._update(dense, tt, self.seed)
+                )
+            self._dense = fn(self._dense, jnp.int32(t))
+            self._state_stale = True
+
     def run(self, n_steps: int):
         from .write import _fire_writers, _writer_next_fire
 
@@ -502,10 +597,24 @@ class Simulation:
                 nw = _writer_next_fire(writers, self._timestep + 1)
                 if nw is not None and nw - self._timestep < chunk:
                     chunk = nw - self._timestep
+            # split at the next updater trigger: updaters apply between
+            # chunks (step loop carries no conditionals)
+            nu = self._updater_next_fire(self._timestep)
+            if nu is not None and nu - self._timestep + 1 < chunk:
+                chunk = nu - self._timestep + 1
+            # align to the absolute rebuild schedule (t % seg_len == 0) so
+            # rebuild times are independent of run() chunking: an
+            # unaligned start runs a no-rebuild continuation chunk up to
+            # the next schedule point
+            off = self._timestep % self._seg_len
+            rebin_first = off == 0
+            if off:
+                chunk = min(chunk, self._seg_len - off)
             backup_dense, backup_meta = self._dense, self._meta
             t0 = jnp.int32(self._timestep)
-            dense, meta = self._run_chunk(
-                backup_dense, backup_meta, t0, jnp.int32(chunk), tbls
+            dense, meta, violated = self._run_chunk(
+                backup_dense, backup_meta, t0, jnp.int32(chunk),
+                jnp.int32(self._seg_len), tbls, rebin_first
             )
             if self._grid_spec is not None and bool(meta.overflow):
                 # transactional replay with grown capacity
@@ -515,10 +624,18 @@ class Simulation:
                 self._grow_and_rebuild()
                 tbls = self._force_tables()
                 continue
+            if bool(violated) and self._seg_len > 1:
+                # a particle out-drifted the Verlet margin inside a
+                # segment: halve the rebuild interval and replay
+                # (seg_len == 1 rebuilds every step and is always valid)
+                self._dense, self._meta = backup_dense, backup_meta
+                self._seg_len = max(self._seg_len // 2, 1)
+                continue
             self._dense, self._meta = dense, meta
             self._state_stale = True
             self._timestep += chunk
             remaining -= chunk
+            self._fire_updaters(self._timestep - 1)
             if writers:
                 _fire_writers(self, writers, self._timestep)
         jax.block_until_ready(self._dense.position)

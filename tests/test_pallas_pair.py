@@ -62,6 +62,34 @@ def test_pallas_matches_xla_half(monkeypatch, mode):
     np.testing.assert_allclose(f_got, f_ref, atol=2e-5 * scale, rtol=2e-5)
 
 
+def test_pallas_j_segmented(monkeypatch):
+    """Force the VMEM J-segmentation path (multiple j-grid steps)."""
+    from azplugins_tpu.ops import pallas_pair as PP
+
+    dense, spec = _dense_system()
+    tables, r_cut = _plj_tables()
+    ef = PAIR_POTENTIALS["PerturbedLennardJones"].energy_force
+
+    def run():
+        jb = D.make_jblocks(dense, spec, half=True, need_typeid=False)
+        return D.dense_pair_force(
+            ef, dense, jb, spec, tables, r_cut,
+            mode="none", want="force", masked=False,
+        )
+
+    monkeypatch.setenv("AZTPU_PALLAS", "0")
+    ref = run()
+    monkeypatch.setenv("AZTPU_PALLAS", "1")
+    monkeypatch.setattr(PP, "_VMEM_BUDGET", 64 * 1024)
+    assert PP._choose_jseg(14 * spec.cap, spec.cap, 128) < 14 * spec.cap
+    got = run()
+    scale = np.abs(np.asarray(ref.force)).max()
+    np.testing.assert_allclose(
+        np.asarray(got.force), np.asarray(ref.force),
+        atol=2e-5 * scale, rtol=2e-5,
+    )
+
+
 def test_pallas_cell_padding(monkeypatch):
     """Cell counts not divisible by the 128-lane block exercise padding."""
     dense, spec = _dense_system(N=200, L=9.0)  # 5^3 = 125 cells

@@ -51,7 +51,9 @@ def test_sharded_step_matches_single_device():
     n = jnp.int32(10)
     tbls = sim._force_tables()
 
-    ref_dense, _ = jax.jit(sim._run_chunk_impl)(sim._dense, sim._meta, t0, n, tbls)
+    ref_dense, _, _ = jax.jit(sim._run_chunk_impl)(
+        sim._dense, sim._meta, t0, n, jnp.int32(5), tbls
+    )
 
     S = sim._dense.position.shape[0]
     ndev = 8 if S % 8 == 0 else (4 if S % 4 == 0 else 2)
@@ -64,7 +66,9 @@ def test_sharded_step_matches_single_device():
         ),
         slot_of=jax.device_put(sim._meta.slot_of, NamedSharding(mesh, P())),
     )
-    out_dense, _ = jax.jit(sim._run_chunk_impl)(dense_sh, meta_sh, t0, n, tbls)
+    out_dense, _, _ = jax.jit(sim._run_chunk_impl)(
+        dense_sh, meta_sh, t0, n, jnp.int32(5), tbls
+    )
 
     np.testing.assert_allclose(
         np.asarray(ref_dense.position), np.asarray(out_dense.position), atol=2e-5
@@ -97,7 +101,8 @@ def test_graft_entry_and_dryrun():
     spec.loader.exec_module(mod)
 
     fn, args = mod.entry()
-    out_state, out_nlds = jax.jit(fn)(*args)
+    out_state, out_meta, violated = jax.jit(fn)(*args)
     assert out_state.position.shape == args[0].position.shape
+    assert not bool(violated)
 
     mod.dryrun_multichip(8)
