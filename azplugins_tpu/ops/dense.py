@@ -911,6 +911,41 @@ def dense_pair_force(
     return _finish_pair(total, spec.S)
 
 
+def _stencil_rows_t(comp_t, spec: GridSpec, offsets, axis_shifts):
+    """Cell-minor stencil rows: [cap, C] component -> [n_seg*cap, C].
+
+    Row blocks: the self cell first, then each half-stencil offset's
+    occupants, pre-shifted via the halo pad. Built natively in the
+    kernel's cell-minor layout so no per-offset transposes are needed.
+    """
+    cap = spec.cap
+    Dx, Dy, Dz = spec.dims
+    g = comp_t.reshape(cap, Dx, Dy, Dz)
+    for ax in range(3):
+        s = axis_shifts[ax] if axis_shifts is not None else None
+        g = _halo_pad(g, ax + 1, s)
+    blocks = [comp_t]
+    for o in offsets:
+        o0, o1, o2 = int(o[0]) + 1, int(o[1]) + 1, int(o[2]) + 1
+        b = jax.lax.slice(
+            g, (0, o0, o1, o2), (cap, o0 + Dx, o1 + Dy, o2 + Dz)
+        )
+        blocks.append(b.reshape(cap, spec.n_cells))
+    return jnp.concatenate(blocks, axis=0)
+
+
+def _roll_cells_t(a, spec: GridSpec, shift):
+    """Transposed-frame un-roll: a [cap, Dx, Dy, Dz], cell axes 1..3."""
+    Dx, Dy, Dz = spec.dims
+    g = a
+    for ax in range(3):
+        g = _halo_pad(g, ax + 1, None)
+    s = tuple(1 - int(shift[k]) for k in range(3))
+    return jax.lax.slice(
+        g, (0,) + s, (a.shape[0], s[0] + Dx, s[1] + Dy, s[2] + Dz)
+    )
+
+
 def _pallas_half_pair_force(
     energy_force_fn, dense: State, jb: JBlocks, spec: GridSpec,
     tables: dict, r_cut_table, interpret: bool = False,
@@ -918,13 +953,15 @@ def _pallas_half_pair_force(
     """Half-stencil single-type maskless pair force via the Pallas kernel.
 
     Physics identical to the XLA half-stencil branch of dense_pair_force;
-    only the execution schedule differs (see ops/pallas_pair.py).
+    only the execution schedule differs (see ops/pallas_pair.py). The
+    whole pipeline runs in the kernel's cell-minor [rows, C] frame: three
+    input transposes, three output transposes, nothing per-offset.
+    (``jb`` is ignored — stencil rows are rebuilt transposed.)
     """
     from . import pallas_pair as PP
     from .pair_force import ForceResult
 
     C, cap = spec.n_cells, spec.cap
-    Dx, Dy, Dz = spec.dims
     offsets = spec.half_stencil()
     n_seg = len(offsets) + 1
     keys = sorted(tables)
@@ -937,29 +974,24 @@ def _pallas_half_pair_force(
         _, f = energy_force_fn(rsq, rcs, p)
         return jnp.where(rsq < rcs, f, 0.0)
 
-    # J rows: self cell first, then the 13 pre-shifted half-stencil rolls
-    comps = [dense.position[:, k].reshape(C, cap) for k in range(3)]
-    jarrs = [jb.x, jb.y, jb.z]
+    shifts = _axis_shift_tables(dense.box) if jb.preshifted else (None,) * 3
+    its = [dense.position[:, k].reshape(C, cap).T for k in range(3)]
     jts = [
-        jnp.concatenate([c.reshape(1, C, cap), arr], axis=0)
-        .transpose(0, 2, 1)
-        .reshape(n_seg * cap, C)
-        for c, arr in zip(comps, jarrs)
+        _stencil_rows_t(c, spec, offsets, s) for c, s in zip(its, shifts)
     ]
-    its = [c.T for c in comps]
     fi, fj = PP.stencil_pair_force_kernel(
         f_divr, scalars, *its, *jts, interpret=interpret
     )
 
-    force = [a.T.reshape(C * cap) for a in fi]
+    Dx, Dy, Dz = spec.dims
+    force = []
     for k3 in range(3):
-        g = fj[k3].reshape(n_seg, cap, C).transpose(0, 2, 1)  # [n_seg, C, cap]
+        g = fj[k3].reshape(n_seg, cap, Dx, Dy, Dz)
         acc = g[0]  # self cell: already in its true cell
         for k, o in enumerate(offsets):
-            acc = acc + _roll_cells(
-                g[k + 1].reshape(Dx, Dy, Dz, cap), spec, o
-            ).reshape(C, cap)
-        force[k3] = force[k3] + acc.reshape(C * cap)
+            acc = acc + _roll_cells_t(g[k + 1], spec, o)
+        total = fi[k3] + acc.reshape(cap, C)
+        force.append(total.T.reshape(C * cap))
     return ForceResult(force=jnp.stack(force, axis=-1), energy=None, virial=None)
 
 

@@ -500,24 +500,38 @@ class Simulation:
         max_occ = int(np.bincount(cid, minlength=spec.n_cells).max())
         return int(math.ceil((max_occ + slack) / 8.0) * 8)
 
-    def tune_cell_capacity(self, slack: int = 8):
-        """Right-size the cell capacity to the *current* configuration.
+    def tune_cell_capacity(self, slack: int = 8, safety: float = 1.0):
+        """Right-size the cell capacity and rebuild interval.
 
         Pair work scales with cap^2, and transient overflow growth (e.g. a
         commensurate starting lattice concentrating particles in a few
-        cells) can leave cap oversized after equilibration. Call after
-        warmup, like HOOMD's neighbor-list tuning. Costs one recompile.
+        cells) can leave cap oversized after equilibration; likewise the
+        melt transient can leave the rebuild interval halved far below
+        what the equilibrated velocities require. Call after warmup, like
+        HOOMD's neighbor-list tuning. Costs one recompile. (An explicit
+        tune changes the rebuild schedule, so trajectories are
+        chunking-reproducible between tunes, not across them.)
         """
         if self._grid_spec is None or self._state is None:
             return
         state = self._synced_state()
         spec = self._grid_spec
+        # rebuild interval from the fastest particle: the Verlet margin
+        # is consumed at <= vmax*dt per step
+        vmax = float(np.abs(np.asarray(state.velocity)).max())
+        if vmax > 0:
+            margin = 0.5 * spec.buffer
+            self._seg_len = max(1, min(50, int(margin / (vmax * self.dt_ref() * safety))))
         cap = self._max_occupancy_cap(state, spec, slack)
         if cap != spec.cap:
             self._grid_spec = spec.replace(cap=cap)
             self._build_runner()
             self._drop_dense()
             self._prepared = False
+
+    def dt_ref(self) -> float:
+        integ = self.operations.integrator
+        return float(integ.dt) if integ is not None else 0.0
 
     def _grow_and_rebuild(self):
         """Grow slot capacity until the current configuration fits."""

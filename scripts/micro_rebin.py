@@ -1,0 +1,106 @@
+"""Profile the rebin pipeline stages on the TPU at 64k bench shapes."""
+
+import sys
+import time
+
+sys.path.insert(0, "/root/repo")
+sys.path.insert(0, "/root/repo/scripts")
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from bench import build_sim
+from azplugins_tpu.ops import dense as D
+
+
+def timeit(name, fn, *args, iters=50):
+    out = fn(*args)
+    jax.block_until_ready(jax.tree_util.tree_leaves(out)[0])
+    t0 = time.perf_counter()
+    out = fn(*args)
+    np.asarray(jax.tree_util.tree_leaves(out)[0]).ravel()[:1]
+    dt = time.perf_counter() - t0
+    print(f"{name:22s} {dt/iters*1e3:7.3f} ms", flush=True)
+
+
+def main():
+    sim, lj = build_sim()
+    sim.run(60)
+    spec = sim._grid_spec
+    dense, meta = sim._dense, sim._meta
+    N = sim._state.N
+    fields = sim._fields
+    n = dense.N
+    iters = 50
+    print(f"S={spec.S} cap={spec.cap} payload={len(D._payload_names(fields))}",
+          flush=True)
+
+    @jax.jit
+    def full(d, m):
+        def body(i, carry):
+            dd, mm = carry
+            dd = dd.replace(position=dd.position + 1e-9 * i)
+            return D.rebin(dd, mm, spec, N, fields)
+
+        return jax.lax.fori_loop(0, iters, body, (d, m))
+
+    @jax.jit
+    def sort_only(d):
+        def body(i, x):
+            key = (d.tag + i) | jnp.int32(1)
+            return x + jax.lax.sort(key)[0]
+
+        return jax.lax.fori_loop(0, iters, body, jnp.int32(0))
+
+    cols = D._per_particle_payload(dense, fields)
+    names = D._payload_names(fields)
+    packed = jnp.stack([D._as_payload_int(k, cols[k]) for k in names], axis=-1)
+    perm0 = jnp.argsort(dense.tag)
+
+    @jax.jit
+    def take_only(packed, perm):
+        def body(i, x):
+            out = jnp.take(packed, (perm + i) % n, axis=0)
+            return x + out[0, 0]
+
+        return jax.lax.fori_loop(0, iters, body, jnp.int32(0))
+
+    @jax.jit
+    def scatter_only(packed, perm):
+        S = spec.S
+
+        def body(i, x):
+            dest = (perm + i) % n
+            base = jnp.zeros((S + 1, packed.shape[1]), jnp.int32)
+            out = base.at[dest].set(packed, mode="drop")
+            return x + out[0, 0]
+
+        return jax.lax.fori_loop(0, iters, body, jnp.int32(0))
+
+    @jax.jit
+    def wrap_only(d):
+        def body(i, x):
+            p, im = d.box.wrap(d.position + 1e-9 * i, d.image)
+            return x + p[0, 0]
+
+        return jax.lax.fori_loop(0, iters, body, jnp.float32(0))
+
+    @jax.jit
+    def cummax_only(d):
+        def body(i, x):
+            v = jax.lax.cummax(d.tag + i)
+            return x + v[-1]
+
+        return jax.lax.fori_loop(0, iters, body, jnp.int32(0))
+
+    timeit("full rebin", full, dense, meta, iters=iters)
+    timeit("sort(key) only", sort_only, dense, iters=iters)
+    timeit("take rows", take_only, packed, perm0, iters=iters)
+    timeit("scatter rows", scatter_only, packed, perm0, iters=iters)
+    timeit("wrap", wrap_only, dense, iters=iters)
+    timeit("cummax", cummax_only, dense, iters=iters)
+
+
+if __name__ == "__main__":
+    main()

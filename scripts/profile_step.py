@@ -1,11 +1,12 @@
 """Ablation profile of the production bench step on the real TPU.
 
-Times variants of the jitted 100-step chunk to localize per-step cost:
-  full        : production one_step (step1, rebin-cond, force, step2)
-  norebin     : rebin cond removed (never rebins)
+Times variants of a jitted 100-step loop to localize per-step cost:
+  full        : production chunk (segmented, rebin every seg_len)
   force_only  : jblocks + pair force only
-  integ_only  : step1 + step2 only (no force, no rebin)
+  integ_only  : step1 + step2 only
   jblocks_only: make_jblocks + trivial reduce
+  rebin_only  : rebin every iteration
+  drift_only  : needs_rebin reduce every iteration
 """
 
 import sys
@@ -38,7 +39,11 @@ def main():
     sim.tune_cell_capacity()
     sim.run(10)
     spec = sim._grid_spec
-    print(f"spec: dims={spec.dims} cap={spec.cap} S={spec.S}", flush=True)
+    print(
+        f"spec: dims={spec.dims} cap={spec.cap} S={spec.S} "
+        f"seg_len={sim._seg_len}",
+        flush=True,
+    )
 
     integ = sim.operations.integrator
     methods = integ.methods
@@ -56,40 +61,11 @@ def main():
             dense, jb, spec, None, t, ctx, tbl, want="force", masked=False
         )
 
-    @jax.jit
     def full(dense, meta, t0):
-        def body(i, carry):
-            d, mt = carry
-            t = t0 + i
-            for m in methods:
-                d = m.step1(d, dt_, t, seed)
-            d, mt = jax.lax.cond(
-                D.needs_rebin(d, mt, spec),
-                lambda a: D.rebin(a[0], a[1], spec, N_tags, fields),
-                lambda a: a,
-                (d, mt),
-            )
-            r = force(d, t)
-            d = d.replace(net_force=r.force)
-            for m in methods:
-                d = m.step2(d, dt_, t, seed)
-            return d, mt
-
-        return jax.lax.fori_loop(0, steps, body, (dense, meta))
-
-    @jax.jit
-    def norebin(dense, t0):
-        def body(i, d):
-            t = t0 + i
-            for m in methods:
-                d = m.step1(d, dt_, t, seed)
-            r = force(d, t)
-            d = d.replace(net_force=r.force)
-            for m in methods:
-                d = m.step2(d, dt_, t, seed)
-            return d
-
-        return jax.lax.fori_loop(0, steps, body, dense)
+        return sim._run_chunk(
+            dense, meta, t0, jnp.int32(steps), jnp.int32(sim._seg_len),
+            sim._force_tables(), True
+        )
 
     @jax.jit
     def force_only(dense, t0):
@@ -117,34 +93,39 @@ def main():
         def body(i, d):
             d = d.replace(position=d.position + jnp.float32(1e-9) * i)
             jb = D.make_jblocks(d, spec, half=True, need_typeid=False)
-            s = jb.x.sum() + jb.y.sum() + jb.z.sum()
-            return d.replace(net_force=d.net_force + s)
+            s = jb.x[0, 0, 0] + jb.y[0, 0, 0] + jb.z[0, 0, 0]
+            return d.replace(net_force=d.net_force.at[0, 0].add(s))
 
         return jax.lax.fori_loop(0, steps, body, dense)
 
     @jax.jit
-    def rebin_cond_only(dense, meta, t0):
+    def rebin_only(dense, meta, t0):
         def body(i, carry):
             d, mt = carry
             d = d.replace(position=d.position + jnp.float32(1e-9) * i)
-            d, mt = jax.lax.cond(
-                D.needs_rebin(d, mt, spec),
-                lambda a: D.rebin(a[0], a[1], spec, N_tags, fields),
-                lambda a: a,
-                (d, mt),
-            )
-            return d, mt
+            return D.rebin(d, mt, spec, N_tags, fields)
 
         return jax.lax.fori_loop(0, steps, body, (dense, meta))
+
+    @jax.jit
+    def drift_only(dense, t0):
+        def body(i, d):
+            d = d.replace(position=d.position + jnp.float32(1e-9) * i)
+            flag = D.needs_rebin(d, meta, spec)
+            return d.replace(
+                net_force=d.net_force.at[0, 0].add(flag.astype(jnp.float32))
+            )
+
+        return jax.lax.fori_loop(0, steps, body, dense)
 
     dense, meta = sim._dense, sim._meta
     t0 = jnp.int32(sim.timestep)
     timeit("full", full, dense, meta, t0)
-    timeit("norebin", norebin, dense, t0)
     timeit("force_only", force_only, dense, t0)
     timeit("integ_only", integ_only, dense, t0)
     timeit("jblocks_only", jblocks_only, dense, t0)
-    timeit("rebin_cond", rebin_cond_only, dense, meta, t0)
+    timeit("rebin_only", rebin_only, dense, meta, t0)
+    timeit("drift_only", drift_only, dense, t0)
 
 
 if __name__ == "__main__":
