@@ -448,12 +448,26 @@ def undensify(dense: State, N: int, fields: tuple = ALL_FIELDS) -> State:
 
 
 def needs_rebin(dense: State, meta: GridMeta, spec: GridSpec):
-    # positions drift unwrapped between rebuilds, so the displacement is a
-    # direct difference — no minimum-image math on the per-step check
+    """Exact pair-drift rebuild criterion.
+
+    A pair binned within the stencil stays covered while
+    ``drift_i + drift_j <= buffer`` (the claimed Verlet margin). The
+    worst pair is the two largest single-particle drifts, so the check
+    is ``max1 + max2 > buffer`` — roughly twice the usable margin of the
+    conservative ``2 * max1`` form when the drift distribution has a
+    lone fast tail. Positions drift unwrapped between rebuilds, so the
+    displacement is a direct difference (no minimum-image math).
+    """
     d = dense.position - meta.ref_position
     dispsq = jnp.sum(d * d, axis=-1)
     dispsq = jnp.where(dense.tag >= 0, dispsq, 0.0)
-    return jnp.max(dispsq) > jnp.float32(0.25 * spec.buffer * spec.buffer)
+    m1 = jnp.max(dispsq)
+    tied = jnp.sum((dispsq == m1).astype(jnp.int32)) > 1
+    m2 = jnp.where(
+        tied, m1, jnp.max(jnp.where(dispsq == m1, -jnp.inf, dispsq))
+    )
+    m2 = jnp.maximum(m2, 0.0)
+    return jnp.sqrt(m1) + jnp.sqrt(m2) > jnp.float32(spec.buffer)
 
 
 # ---------------------------------------------------------------------------

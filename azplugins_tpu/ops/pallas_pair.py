@@ -45,6 +45,9 @@ from jax.experimental.pallas import tpu as pltpu
 __all__ = ["stencil_pair_force_kernel", "has_tpu", "pallas_mode"]
 
 _SENTINEL = 1.0e18
+# j-subtile height of the pair microkernel (rows per register-resident
+# tile); must divide cap. 8 = one native (8,128) f32 tile.
+_SUBTILE_H = int(__import__("os").environ.get("AZTPU_SUBTILE_H", "8"))
 # scoped VMEM budget for choosing the J-segment size (the hardware limit
 # is 16M; leave headroom for Mosaic's own temporaries)
 _VMEM_BUDGET = 10 * 1024 * 1024
@@ -75,41 +78,71 @@ def _kernel(eval_f_divr, cap, Jseg, CB, n_sc, sc_ref,
             xi_ref, yi_ref, zi_ref, jx_ref, jy_ref, jz_ref,
             fxi_ref, fyi_ref, fzi_ref, fxj_ref, fyj_ref, fzj_ref,
             sxi_ref, syi_ref, szi_ref):
+    """j-subtile-outer / i-row-inner pair microkernel.
+
+    The v2 formulation (whole [Jseg, CB] j-block per i-row) re-read the
+    three j planes and read-modified-wrote the three j accumulators from
+    VMEM on every one of the `cap` i-rows -- ~45 bytes of VMEM traffic
+    per pair, measured bandwidth-bound at ~1.35 TB/s with the arithmetic
+    mostly idle (a trivial evaluator ran only 19% faster than the full
+    one). Here the outer loop walks (8, CB) j-subtiles: the j coordinates
+    and the Newton j-side accumulators live in vector registers across
+    the fully unrolled i-row loop, leaving ~2 bytes/pair of VMEM traffic
+    (the i-row partial-sum updates), which puts the VPU arithmetic back
+    in charge.
+    """
     svals = [sc_ref[k, 0] for k in range(n_sc)]
     kseg = pl.program_id(1)
-    # global row index within the full J axis: rows [0, cap) are the self
-    # cell (Newton strict-upper-triangle mask)
-    jrow = kseg * Jseg + jax.lax.broadcasted_iota(jnp.int32, (Jseg, CB), 0)
 
-    fxj_ref[:] = jnp.zeros((Jseg, CB), jnp.float32)
-    fyj_ref[:] = jnp.zeros((Jseg, CB), jnp.float32)
-    fzj_ref[:] = jnp.zeros((Jseg, CB), jnp.float32)
+    # i-side partial accumulators for this (block, segment)
+    sxi_ref[:] = jnp.zeros((cap, CB), jnp.float32)
+    syi_ref[:] = jnp.zeros((cap, CB), jnp.float32)
+    szi_ref[:] = jnp.zeros((cap, CB), jnp.float32)
 
-    jx = jx_ref[:]
-    jy = jy_ref[:]
-    jz = jz_ref[:]
+    xi = xi_ref[:]
+    yi = yi_ref[:]
+    zi = zi_ref[:]
 
-    def body(s, _):
-        dx = xi_ref[s, :][None, :] - jx
-        dy = yi_ref[s, :][None, :] - jy
-        dz = zi_ref[s, :][None, :] - jz
-        rsq = dx * dx + dy * dy + dz * dz
-        f = eval_f_divr(rsq, svals)
-        # self-cell: evaluate each unordered pair once (j > s strictly);
-        # rows >= cap are other cells of the half stencil (all pairs kept)
-        f = jnp.where((jrow > s) | (jrow >= cap), f, 0.0)
-        fx = f * dx
-        fy = f * dy
-        fz = f * dz
-        sxi_ref[s, :] = jnp.sum(fx, axis=0)
-        syi_ref[s, :] = jnp.sum(fy, axis=0)
-        szi_ref[s, :] = jnp.sum(fz, axis=0)
-        fxj_ref[:] = fxj_ref[:] - fx
-        fyj_ref[:] = fyj_ref[:] - fy
-        fzj_ref[:] = fzj_ref[:] - fz
+    H = _SUBTILE_H if (Jseg % _SUBTILE_H == 0) else 8
+    NT = Jseg // H
+
+    def jt_body(jt, _):
+        j0 = pl.multiple_of(jt * H, H)
+        jx_t = jx_ref[pl.ds(j0, H), :]
+        jy_t = jy_ref[pl.ds(j0, H), :]
+        jz_t = jz_ref[pl.ds(j0, H), :]
+        # global J rows of this subtile; rows outside the self cell never
+        # mask (huge sentinel index), so the Newton strict-upper-triangle
+        # check is one compare folded into the cutoff via rsq
+        jrow = kseg * Jseg + j0 + jax.lax.broadcasted_iota(
+            jnp.int32, (H, CB), 0
+        )
+        jrow_self = jnp.where(jrow < cap, jrow, jnp.int32(0x7FFFFFF0))
+        fjx = jnp.zeros((H, CB), jnp.float32)
+        fjy = jnp.zeros((H, CB), jnp.float32)
+        fjz = jnp.zeros((H, CB), jnp.float32)
+        for s in range(cap):
+            dx = xi[s, :][None, :] - jx_t
+            dy = yi[s, :][None, :] - jy_t
+            dz = zi[s, :][None, :] - jz_t
+            rsq = dx * dx + dy * dy + dz * dz
+            rsq = jnp.where(jrow_self > s, rsq, jnp.float32(1.0e30))
+            f = eval_f_divr(rsq, svals)
+            fx = f * dx
+            fy = f * dy
+            fz = f * dz
+            fjx = fjx - fx
+            fjy = fjy - fy
+            fjz = fjz - fz
+            sxi_ref[s, :] += jnp.sum(fx, axis=0)
+            syi_ref[s, :] += jnp.sum(fy, axis=0)
+            szi_ref[s, :] += jnp.sum(fz, axis=0)
+        fxj_ref[pl.ds(j0, H), :] = fjx
+        fyj_ref[pl.ds(j0, H), :] = fjy
+        fzj_ref[pl.ds(j0, H), :] = fjz
         return 0
 
-    jax.lax.fori_loop(0, cap, body, 0)
+    jax.lax.fori_loop(0, NT, jt_body, 0)
 
     # merge this segment's i-side partials; the fi block is revisited
     # across the (innermost) segment grid dimension

@@ -96,6 +96,28 @@ def main():
     timeit("stencil rows build", jbt_only, dense, iters=iters)
     timeit("wrapper full force", wrapper_full, dense, iters=iters)
 
+    def f_trivial(rsq, svals):
+        return jnp.where(rsq < svals[-1], rsq * svals[0], 0.0)
+
+    def make_kernel(evalf, cb):
+        @jax.jit
+        def k(its, jts):
+            def body(i, acc):
+                jts2 = [a + 1e-12 * i for a in jts]
+                fi, fj = PP.stencil_pair_force_kernel(
+                    evalf, scalars, *its, *jts2, cell_block=cb
+                )
+                return acc + fi[0][0, 0] + fj[0][0, 0]
+
+            return jax.lax.fori_loop(0, iters, body, jnp.float32(0))
+
+        return k
+
+    timeit("kernel trivial eval", make_kernel(f_trivial, 128), its, jts,
+           iters=iters)
+    timeit("kernel CB=256", make_kernel(f_divr, 256), its, jts, iters=iters)
+    timeit("kernel CB=512", make_kernel(f_divr, 512), its, jts, iters=iters)
+
 
 if __name__ == "__main__":
     main()
