@@ -29,6 +29,8 @@ Quick start::
     sim.run(1000)
 """
 
+import os as _os
+
 import jax as _jax
 
 # MD physics must never run through silently-degraded matmuls: TPU
@@ -36,7 +38,17 @@ import jax as _jax
 # teleported boundary-crossing particles by ~0.4% of the box until
 # core/box.py went matmul-free). The engine itself avoids matmuls on
 # physical data; this guard protects observables and future code.
-_jax.config.update("jax_default_matmul_precision", "highest")
+#
+# NOTE: this is a process-global setting that also affects user JAX code
+# importing this library. It is skipped if the user already configured
+# matmul precision (env var or prior config.update), and can be disabled
+# with AZTPU_SET_MATMUL_PRECISION=0.
+if (
+    _os.environ.get("AZTPU_SET_MATMUL_PRECISION", "1") != "0"
+    and _os.environ.get("JAX_DEFAULT_MATMUL_PRECISION") is None
+    and _jax.config.jax_default_matmul_precision is None
+):
+    _jax.config.update("jax_default_matmul_precision", "highest")
 
 from . import compute, external, flow, io, md, ops, update, write
 from .core import Box, Snapshot, State, variant

@@ -839,7 +839,12 @@ def dense_pair_force(
     # Hot case (force-only, maskless sentinels, one type, force unchanged
     # by the shift mode): hand off to the Pallas kernel, which evaluates
     # both Newton sides in one VMEM-resident pass (ops/pallas_pair.py).
-    if want == "force" and not masked and T == 1 and mode != "xplor":
+    # cap % 8: the kernel's j-subtile height must divide every J segment
+    # (segments are multiples of cap); odd caps take the XLA path below
+    if (
+        want == "force" and not masked and T == 1 and mode != "xplor"
+        and spec.cap % 8 == 0
+    ):
         from . import pallas_pair as PP
 
         pmode = PP.pallas_mode()

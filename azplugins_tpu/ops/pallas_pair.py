@@ -104,6 +104,16 @@ def _kernel(eval_f_divr, cap, Jseg, CB, n_sc, sc_ref,
     zi = zi_ref[:]
 
     H = _SUBTILE_H if (Jseg % _SUBTILE_H == 0) else 8
+    if Jseg % H != 0:
+        # flooring NT here would silently skip the tail j-rows (missed
+        # pair forces) and leave their output rows uninitialized; callers
+        # must guarantee cap (and hence Jseg, a multiple of cap) is a
+        # multiple of 8 or take the XLA path
+        raise ValueError(
+            f"pallas pair kernel needs Jseg divisible by the subtile "
+            f"height (Jseg={Jseg}, H={H}); use a cell capacity that is a "
+            f"multiple of 8"
+        )
     NT = Jseg // H
 
     def jt_body(jt, _):

@@ -517,11 +517,14 @@ class Simulation:
         state = self._synced_state()
         spec = self._grid_spec
         # rebuild interval from the fastest particle: the Verlet margin
-        # is consumed at <= vmax*dt per step
-        vmax = float(np.abs(np.asarray(state.velocity)).max())
-        if vmax > 0:
+        # is consumed at <= vmax*dt per step (vmax = max speed, the full
+        # velocity norm — a component max would underestimate by sqrt(3))
+        vel = np.asarray(state.velocity)
+        vmax = float(np.sqrt((vel * vel).sum(axis=-1).max())) if vel.size else 0.0
+        dt = self.dt_ref()
+        if vmax > 0 and dt > 0:
             margin = 0.5 * spec.buffer
-            self._seg_len = max(1, min(50, int(margin / (vmax * self.dt_ref() * safety))))
+            self._seg_len = max(1, min(50, int(margin / (vmax * dt * safety))))
         cap = self._max_occupancy_cap(state, spec, slack)
         if cap != spec.cap:
             self._grid_spec = spec.replace(cap=cap)
@@ -564,13 +567,25 @@ class Simulation:
     def _updater_next_fire(self, t: int) -> int | None:
         from .write import _next_fire
 
-        pts = [
-            p
-            for p in (
-                _next_fire(u.trigger, t) for u in self.operations.updaters
-            )
-            if p is not None
-        ]
+        pts = []
+        for u in self.operations.updaters:
+            p = _next_fire(u.trigger, t)
+            if p is None:
+                # custom trigger callables are probed over a bounded window
+                # (write._next_fire); an exhausted window means the updater
+                # would silently never run — surface it instead
+                import warnings
+
+                warnings.warn(
+                    f"updater {type(u).__name__}: trigger never fires within "
+                    f"the {100_000}-step probe window starting at step {t}; "
+                    "it will not be applied in this window. Provide a "
+                    "next_fire(t) method on the trigger for exact host-side "
+                    "scheduling.",
+                    stacklevel=3,
+                )
+                continue
+            pts.append(p)
         return min(pts) if pts else None
 
     def _fire_updaters(self, t: int):
@@ -638,13 +653,27 @@ class Simulation:
                 self._grow_and_rebuild()
                 tbls = self._force_tables()
                 continue
-            if bool(violated) and self._seg_len > 1:
-                # a particle out-drifted the Verlet margin inside a
-                # segment: halve the rebuild interval and replay
-                # (seg_len == 1 rebuilds every step and is always valid)
-                self._dense, self._meta = backup_dense, backup_meta
-                self._seg_len = max(self._seg_len // 2, 1)
-                continue
+            if bool(violated):
+                if self._seg_len > 1:
+                    # a particle out-drifted the Verlet margin inside a
+                    # segment: halve the rebuild interval and replay
+                    # (seg_len == 1 rebuilds every step and is always valid)
+                    self._dense, self._meta = backup_dense, backup_meta
+                    self._seg_len = max(self._seg_len // 2, 1)
+                    continue
+                # seg_len == 1: a particle crossed more than the full
+                # buffer in ONE step; forces this chunk may have used a
+                # one-step-stale list. Accept but warn (HOOMD's
+                # "dangerous build" condition).
+                import warnings
+
+                self._dangerous_builds = getattr(self, "_dangerous_builds", 0) + 1
+                warnings.warn(
+                    "dangerous neighbor rebuild: a particle moved more than "
+                    "the Verlet buffer in a single step; increase the nlist "
+                    "buffer or reduce dt",
+                    stacklevel=2,
+                )
             self._dense, self._meta = dense, meta
             self._state_stale = True
             self._timestep += chunk
