@@ -37,6 +37,8 @@ class Stream:
     LANGEVIN = 210
     BROWNIAN = 211
     THERMALIZE = 212
+    LANGEVIN_ANGULAR = 213
+    THERMALIZE_ANGULAR = 214
 
 
 def _rotl32(x, r):

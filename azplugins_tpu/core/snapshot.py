@@ -50,6 +50,8 @@ class ParticleData:
         self.diameter[:] = np.where(self.diameter[:] == 0, 1.0, self.diameter[:])
         grow("charge", (), np.float64)
         grow("body", (), np.int32, fill=-1)
+        grow("angmom", (4,), np.float64)
+        grow("moment_inertia", (3,), np.float64)
 
 
 class BondData:

@@ -42,6 +42,9 @@ class State:
     charge: jnp.ndarray  # [N]
     net_force: jnp.ndarray  # [N, 3] conservative forces at current positions
     acceleration: jnp.ndarray  # [N, 3] effective accel incl. thermostat forces
+    angmom: jnp.ndarray  # [N, 4] angular momentum quaternion p = 2 q (0, I w_body)
+    moment_inertia: jnp.ndarray  # [N, 3] body-frame principal moments
+    net_torque: jnp.ndarray  # [N, 3] lab-frame torques at current positions
     bond_typeid: jnp.ndarray  # [NB] int32
     bond_group: jnp.ndarray  # [NB, 2] int32
     box: Box
@@ -78,6 +81,9 @@ def state_from_snapshot(snapshot: Snapshot) -> tuple[State, list[str], list[str]
         charge=jnp.asarray(p.charge, dtype=jnp.float32),
         net_force=jnp.zeros((p.N, 3), dtype=jnp.float32),
         acceleration=jnp.zeros((p.N, 3), dtype=jnp.float32),
+        angmom=jnp.asarray(p.angmom, dtype=jnp.float32),
+        moment_inertia=jnp.asarray(p.moment_inertia, dtype=jnp.float32),
+        net_torque=jnp.zeros((p.N, 3), dtype=jnp.float32),
         bond_typeid=jnp.asarray(b.typeid, dtype=jnp.int32),
         bond_group=jnp.asarray(b.group, dtype=jnp.int32),
         box=box,
@@ -101,6 +107,8 @@ def state_to_snapshot(state: State, particle_types, bond_types) -> Snapshot:
     p.mass[:] = np.asarray(state.mass, dtype=np.float64)
     p.diameter[:] = np.asarray(state.diameter, dtype=np.float64)
     p.charge[:] = np.asarray(state.charge, dtype=np.float64)
+    p.angmom[:] = np.asarray(state.angmom, dtype=np.float64)
+    p.moment_inertia[:] = np.asarray(state.moment_inertia, dtype=np.float64)
     L = np.asarray(state.box.L, dtype=np.float64)
     tilt = np.asarray(state.box.tilt, dtype=np.float64)
     snap.configuration.box = [L[0], L[1], L[2], tilt[0], tilt[1], tilt[2]]
@@ -139,4 +147,33 @@ def thermalize_momenta(state: State, kT: float, seed: int, mask=None) -> State:
     mtot = jnp.sum(state.mass * mask_f[:, 0])
     vel = vel - (mom / mtot)[None, :]
     new_vel = jnp.where(mask[:, None], vel, state.velocity)
-    return state.replace(velocity=new_vel)
+    state = state.replace(velocity=new_vel)
+
+    # angular momenta for particles with nonzero moments of inertia
+    # (hoomd thermalizes rotational DOF in the same call)
+    inertia = state.moment_inertia
+    if bool(jnp.any(inertia > 0)):
+        from ..md import rotation as R
+
+        words_r = particle_bits(
+            Stream.THERMALIZE_ANGULAR, seed, 0, tag, n_words=8
+        )
+        gauss_r = []
+        for k in range(3):
+            u1 = jnp.maximum(uniform_from_bits(words_r[2 * k], 0.0, 1.0), eps)
+            u2 = uniform_from_bits(words_r[2 * k + 1], 0.0, 1.0)
+            g = jnp.sqrt(-2.0 * jnp.log(u1)) * jnp.cos(2.0 * jnp.pi * u2)
+            gauss_r.append(g)
+        gauss_r = jnp.stack(gauss_r, axis=-1)
+        active = inertia > 1e-12
+        L_body = jnp.where(
+            active, gauss_r * jnp.sqrt(jnp.float32(kT) * inertia), 0.0
+        )
+        q = state.orientation
+        zeros = jnp.zeros((n, 1), jnp.float32)
+        p = 2.0 * R.quat_mul(q, jnp.concatenate([zeros, L_body], axis=-1))
+        new_p = jnp.where(
+            (mask & jnp.any(active, axis=-1))[:, None], p, state.angmom
+        )
+        state = state.replace(angmom=new_p)
+    return state

@@ -50,6 +50,8 @@ def snapshot_to_chunks(snapshot: Snapshot, dynamic_only: bool = False) -> dict:
                 "particles/mass": np.asarray(p.mass, np.float32),
                 "particles/diameter": np.asarray(p.diameter, np.float32),
                 "particles/charge": np.asarray(p.charge, np.float32),
+                "particles/angmom": np.asarray(p.angmom, np.float32),
+                "particles/moment_inertia": np.asarray(p.moment_inertia, np.float32),
                 "particles/types": _encode_types(p.types),
                 "bonds/typeid": np.asarray(snapshot.bonds.typeid, np.int32),
                 "bonds/group": np.asarray(snapshot.bonds.group, np.int32),
@@ -90,6 +92,9 @@ def chunks_to_snapshot(chunks: dict, template: Snapshot | None = None) -> Snapsh
         p.mass[:] = chunks["particles/mass"]
         p.diameter[:] = chunks["particles/diameter"]
         p.charge[:] = chunks["particles/charge"]
+        if "particles/angmom" in chunks:  # absent in pre-rotation files
+            p.angmom[:] = chunks["particles/angmom"]
+            p.moment_inertia[:] = chunks["particles/moment_inertia"]
         p.types = _decode_types(chunks["particles/types"])
         bonds = chunks.get("bonds/group")
         if bonds is not None and len(bonds):

@@ -35,9 +35,14 @@ class Method:
     def __init__(self, filter: ParticleFilter | None = None):
         self.filter = filter if filter is not None else All()
         self._select = None  # traced selector, bound at attach
+        self._rotational = False  # set at attach from the integrator flag
 
     def _attach(self, sim):
         self._select = self.filter.bind(sim._particle_types)
+        integ = sim.operations.integrator
+        self._rotational = bool(
+            integ is not None and integ.integrate_rotational_dof
+        )
 
     def _where(self, state, new, old):
         # empty slots (tag < 0, dense layout) must never move: the pair
@@ -59,18 +64,49 @@ class Method:
     def step1(self, state, dt, timestep, seed):
         vel_half = state.velocity + (0.5 * dt) * state.acceleration
         pos = state.position + dt * vel_half
-        return state.replace(
+        state = state.replace(
             position=self._where(state, pos, state.position),
             velocity=self._where(state, vel_half, state.velocity),
         )
+        if self._rotational:
+            state = self._rot_step1(state, dt)
+        return state
 
     def step2(self, state, dt, timestep, seed):
         accel = state.net_force / state.mass[:, None]
         vel = state.velocity + (0.5 * dt) * accel
-        return state.replace(
+        state = state.replace(
             velocity=self._where(state, vel, state.velocity),
             acceleration=self._where(state, accel, state.acceleration),
         )
+        if self._rotational:
+            state = self._rot_step2(state, dt, timestep, seed)
+        return state
+
+    # rotational velocity-Verlet (NO_SQUISH; md/rotation.py). step1 kicks
+    # the angular momentum by dt/2 with the STORED torques (computed at the
+    # previous step's positions, like the stored acceleration) then rotates
+    # freely for dt; step2 kicks with the fresh torques in state.net_torque.
+    def _rot_step1(self, state, dt):
+        from . import rotation as R
+
+        q, p = state.orientation, state.angmom
+        inertia = state.moment_inertia
+        p = R.angmom_kick(q, p, state.net_torque, inertia, dt)
+        q, p = R.free_rotation(q, p, inertia, dt)
+        return state.replace(
+            orientation=self._where(state, q, state.orientation),
+            angmom=self._where(state, p, state.angmom),
+        )
+
+    def _rot_step2(self, state, dt, timestep, seed):
+        from . import rotation as R
+
+        p = R.angmom_kick(
+            state.orientation, state.angmom, state.net_torque,
+            state.moment_inertia, dt,
+        )
+        return state.replace(angmom=self._where(state, p, state.angmom))
 
 
 class ConstantVolume(Method):
@@ -80,15 +116,22 @@ class ConstantVolume(Method):
 class _GammaMixin:
     def _init_gamma(self, default_gamma):
         self.gamma = TypeParameter("gamma", 1, None, float, default=float(default_gamma))
+        self.gamma_r = TypeParameter("gamma_r", 1, None, float, default=1.0)
 
     def _attach_gamma(self, sim):
         self._gamma_table = jnp.asarray(
             self.gamma.to_scalar_table(sim._particle_types), dtype=jnp.float32
         )
+        self._gamma_r_table = jnp.asarray(
+            self.gamma_r.to_scalar_table(sim._particle_types), dtype=jnp.float32
+        )
 
     def _gamma_of(self, state):
         # typeid may be permuted (and -1 on empty slots) in the dense layout
         return jnp.take(self._gamma_table, jnp.maximum(state.typeid, 0))
+
+    def _gamma_r_of(self, state):
+        return jnp.take(self._gamma_r_table, jnp.maximum(state.typeid, 0))
 
 
 class LangevinFlow(Method, _GammaMixin):
@@ -134,9 +177,48 @@ class LangevinFlow(Method, _GammaMixin):
         bd_force = random_force - gamma * (state.velocity - flow_vel)
         accel = (state.net_force + bd_force) / state.mass[:, None]
         vel = state.velocity + (0.5 * dt) * accel
-        return state.replace(
+        state = state.replace(
             velocity=self._where(state, vel, state.velocity),
             acceleration=self._where(state, accel, state.acceleration),
+        )
+        if self._rotational:
+            state = self._rot_step2_langevin(state, dt, timestep, seed, kT)
+        return state
+
+    def _rot_step2_langevin(self, state, dt, timestep, seed, kT):
+        """Second rotational half-kick with body-frame friction + noise.
+
+        bd torque (body frame) = sqrt(6 gamma_r kT / dt) * U(-1,1) per axis
+        minus gamma_r * omega_body, rotated to lab and added to the
+        conservative torques for the dt/2 kick (HOOMD TwoStepLangevin's
+        rotational update re-derived for the uniform-noise convention).
+        """
+        from . import rotation as R
+
+        q, p = state.orientation, state.angmom
+        inertia = state.moment_inertia
+        active = inertia > 1e-12
+        L_body = R.body_angular_momentum(q, p)
+        omega = jnp.where(active, L_body / jnp.maximum(inertia, 1e-12), 0.0)
+        gr = self._gamma_r_of(state)[:, None]
+        if self.noiseless or dt <= 0:
+            rand = jnp.zeros_like(omega)
+        else:
+            u = _rng.particle_uniform3(
+                _rng.Stream.LANGEVIN_ANGULAR, seed, timestep, state.tag
+            )
+            rand = jnp.sqrt(6.0 * gr * kT / dt) * u
+        bd_body = jnp.where(active, rand - gr * omega, 0.0)
+        torque = state.net_torque + R.rotate(q, bd_body)
+        p = R.angmom_kick(q, p, torque, inertia, dt)
+        # store the EFFECTIVE torque (conservative + BD) so the next step1
+        # half-kick reuses it — the rotational analog of the stored
+        # acceleration carrying F_BD (reference TwoStepLangevinFlow.h:142-149);
+        # without this the thermostat noise acts over dt/2 and equilibrates
+        # at kT/2
+        return state.replace(
+            angmom=self._where(state, p, state.angmom),
+            net_torque=self._where(state, torque, state.net_torque),
         )
 
 

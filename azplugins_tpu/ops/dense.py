@@ -197,8 +197,12 @@ _OPT_FIELDS = {
     "quat": ("qw", "qx", "qy", "qz"),
     "charge": ("charge",),
     "diameter": ("diameter",),
+    # rotational dynamics payload: angular momentum quaternion, body-frame
+    # moments of inertia, and the stored net torque (the rotational analog
+    # of acceleration: step1's angmom kick uses last step's torques)
+    "rotation": ("pw", "px", "py", "pz", "Ix", "Iy", "Iz", "tqx", "tqy", "tqz"),
 }
-ALL_FIELDS = ("mass", "quat", "charge", "diameter")
+ALL_FIELDS = ("mass", "quat", "charge", "diameter", "rotation")
 
 
 def _payload_names(fields: tuple) -> tuple:
@@ -256,6 +260,13 @@ def _per_particle_payload(state: State, fields: tuple):
         cols["charge"] = state.charge
     if "diameter" in fields:
         cols["diameter"] = state.diameter
+    if "rotation" in fields:
+        for k, name in enumerate(("pw", "px", "py", "pz")):
+            cols[name] = state.angmom[:, k]
+        for k, name in enumerate(("Ix", "Iy", "Iz")):
+            cols[name] = state.moment_inertia[:, k]
+        for k, name in enumerate(("tqx", "tqy", "tqz")):
+            cols[name] = state.net_torque[:, k]
     return cols
 
 
@@ -305,6 +316,14 @@ def _state_from_payload(cols: dict, template: State, box: Box, fields: tuple) ->
     else:
         mass = jnp.ones((S,), jnp.float32)
     accel = f("ax", "ay", "az")
+    if "rotation" in fields:
+        angmom = f("pw", "px", "py", "pz")
+        inertia = f("Ix", "Iy", "Iz")
+        torque = f("tqx", "tqy", "tqz")
+    else:
+        angmom = jnp.zeros((S, 4), jnp.float32)
+        inertia = jnp.zeros((S, 3), jnp.float32)
+        torque = jnp.zeros((S, 3), jnp.float32)
     return State(
         position=f("x", "y", "z"),
         tag=cols["tag"],
@@ -321,6 +340,9 @@ def _state_from_payload(cols: dict, template: State, box: Box, fields: tuple) ->
         charge=cols["charge"] if "charge" in fields else jnp.zeros((S,), jnp.float32),
         net_force=accel * mass[:, None],
         acceleration=accel,
+        angmom=angmom,
+        moment_inertia=inertia,
+        net_torque=torque,
         bond_typeid=template.bond_typeid,
         bond_group=template.bond_group,
         box=box,

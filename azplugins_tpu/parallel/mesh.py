@@ -61,6 +61,9 @@ def shard_state(state, mesh: Mesh, axis: str = "d"):
         charge=place(state.charge, sharded),
         net_force=place(state.net_force, sharded),
         acceleration=place(state.acceleration, sharded),
+        angmom=place(state.angmom, sharded),
+        moment_inertia=place(state.moment_inertia, sharded),
+        net_torque=place(state.net_torque, sharded),
         bond_typeid=place(state.bond_typeid, replicated),
         bond_group=place(state.bond_group, replicated),
         box=jax.tree.map(lambda x: place(x, replicated), state.box),

@@ -267,6 +267,16 @@ class Simulation:
         need_quat = any(getattr(f, "_needs_quat_j", False) for f in self._forces())
         if need_quat or np.any(quat != np.array([1.0, 0, 0, 0], np.float32)):
             fields.append("quat")
+        integ = self.operations.integrator
+        rot = bool(integ is not None and integ.integrate_rotational_dof)
+        if (
+            rot
+            or np.any(np.asarray(state.angmom) != 0.0)
+            or np.any(np.asarray(state.moment_inertia) != 0.0)
+        ):
+            fields.append("rotation")
+            if "quat" not in fields:
+                fields.insert(fields.index("rotation"), "quat")
         if np.any(np.asarray(state.charge) != 0.0):
             fields.append("charge")
         need_diam = any(getattr(f, "_needs_diameter", False) for f in self._forces())
@@ -334,19 +344,35 @@ class Simulation:
                 )
             return results
 
+        # rotational integration needs the net torque carried alongside the
+        # net force (VV step1 kicks angmom with last step's torques)
+        need_torque = bool(
+            integ is not None
+            and integ.integrate_rotational_dof
+            and any(getattr(f, "_produces_torque", False) for f in forces)
+        )
+
         def compute_net(dense, slot_of, t, tbls):
             net = jnp.zeros((dense.position.shape[0], 3), jnp.float32)
+            ntq = jnp.zeros_like(net) if need_torque else None
             for r in compute_all(dense, slot_of, t, tbls, want="force"):
                 net = net + r.force
-            return net
+                if need_torque and r.torque is not None:
+                    ntq = ntq + r.torque
+            return net, ntq
+
+        def _set_net(dense, net, ntq):
+            if ntq is not None:
+                return dense.replace(net_force=net, net_torque=ntq)
+            return dense.replace(net_force=net)
 
         def one_step(dense, meta, t, tbls):
             """One MD step with NO neighbor rebuild (runs inside a segment)."""
             for m in methods:
                 dense = m.step1(dense, dt, t, seed)
             slot_of = meta.slot_of if spec is not None else None
-            net = compute_net(dense, slot_of, t, tbls)
-            dense = dense.replace(net_force=net)
+            net, ntq = compute_net(dense, slot_of, t, tbls)
+            dense = _set_net(dense, net, ntq)
             for m in methods:
                 dense = m.step2(dense, dt, t, seed)
             return dense, meta
@@ -393,8 +419,8 @@ class Simulation:
                 # k == 0 after a fresh rebuild cannot violate unless a
                 # particle crosses half the margin in one step
                 viol = viol | D.needs_rebin(d, mt, spec)
-                net = compute_net(d, mt.slot_of, t, tbls)
-                d = d.replace(net_force=net)
+                net, ntq = compute_net(d, mt.slot_of, t, tbls)
+                d = _set_net(d, net, ntq)
                 for m in methods:
                     d = m.step2(d, dt, t, seed)
                 return d, mt, start, viol
@@ -557,9 +583,11 @@ class Simulation:
         self._ensure_dense()
         t = jnp.int32(self._timestep)
         slot_of = self._meta.slot_of if self._grid_spec is not None else None
-        net = self._compute_net_jit(self._dense, slot_of, t, self._force_tables())
+        net, ntq = self._compute_net_jit(self._dense, slot_of, t, self._force_tables())
         accel = net / self._dense.mass[:, None]
         self._dense = self._dense.replace(net_force=net, acceleration=accel)
+        if ntq is not None:
+            self._dense = self._dense.replace(net_torque=ntq)
         self._state_stale = True
         self._prepared = True
 

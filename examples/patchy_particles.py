@@ -26,12 +26,13 @@ def main():
     # random orientations (normalized quaternions)
     q = rng.normal(size=(N, 4))
     snap.particles.orientation[:] = q / np.linalg.norm(q, axis=1, keepdims=True)
+    snap.particles.moment_inertia[:] = [0.4, 0.4, 0.4]
 
     sim = az.Simulation(seed=2)
     sim.create_state_from_snapshot(snap)
 
     patchy = az.pair.TwoPatchMorse(
-        nlist=az.md.nlist.Cell(buffer=0.3), default_r_cut=1.6
+        nlist=az.md.nlist.Cell(buffer=0.3), default_r_cut=1.6, mode="shift"
     )
     patchy.params[("P", "P")] = dict(
         M_d=1.5, M_r=0.05, r_eq=1.0, omega=20.0, alpha=0.4, repulsion=True
@@ -41,13 +42,17 @@ def main():
         dt=0.002,
         methods=[az.md.methods.Langevin(kT=0.3, default_gamma=1.0)],
         forces=[patchy],
+        integrate_rotational_dof=True,
     )
     sim.state.thermalize_particle_momenta(kT=0.3)
+    q0 = sim.state.get_snapshot().particles.orientation.copy()
     sim.run(1000)
 
     torques = np.asarray(patchy.torques)
+    q1 = sim.state.get_snapshot().particles.orientation
     print(f"U/N = {patchy.energy / N:.4f}")
     print(f"mean |torque| = {np.linalg.norm(torques, axis=1).mean():.4f}")
+    print(f"mean orientation drift = {np.abs(q1 - q0).mean():.4f}")
 
 
 if __name__ == "__main__":
