@@ -144,7 +144,7 @@ class _WallPotential(Force):
         r_cut = host.pop("r_cut")
         self._tbl = {
             "params": tables_to_device(self._def.precompute(host)),
-            "r_cut": jnp.asarray(r_cut, dtype=jnp.float32),
+            "r_cut": np.asarray(r_cut, dtype=np.float32),
         }
 
     def _compute(self, state, nbr_idx, timestep, ctx: SimContext, tbl) -> ForceResult:

@@ -114,7 +114,16 @@ class Force:
 
 
 def tables_to_device(host_tables: dict) -> dict:
-    return {k: jnp.asarray(v, dtype=jnp.float32) for k, v in host_tables.items()}
+    """Normalize parameter tables to f32 — kept HOST-side (numpy).
+
+    Tables stay numpy on purpose: Simulation fingerprints them every
+    ``run()`` to decide whether to rebind the compiled chunk, and host
+    bytes are free to read while device arrays cost a relay round-trip
+    (~90 ms each on the tunneled TPU). They are baked into the jitted
+    chunk as constants at bind time (Simulation._bind_tables), so nothing
+    on the device path ever sees the numpy copies.
+    """
+    return {k: np.asarray(v, dtype=np.float32) for k, v in host_tables.items()}
 
 
 def build_pair_tables(def_, params: TypeParameter, types: list[str]) -> dict:

@@ -63,8 +63,8 @@ class Pair(Force):
         types = sim._particle_types
         self._tbl = {
             "params": build_pair_tables(self._def, self.params, types),
-            "r_cut": jnp.asarray(self.r_cut.to_scalar_table(types), dtype=jnp.float32),
-            "r_on": jnp.asarray(self.r_on.to_scalar_table(types), dtype=jnp.float32),
+            "r_cut": np.asarray(self.r_cut.to_scalar_table(types), dtype=np.float32),
+            "r_on": np.asarray(self.r_on.to_scalar_table(types), dtype=np.float32),
         }
 
     def _max_r_cut(self) -> float:
@@ -215,7 +215,7 @@ class TwoPatchMorse(Force):
         types = sim._particle_types
         self._tbl = {
             "params": build_pair_tables(self._def, self.params, types),
-            "r_cut": jnp.asarray(self.r_cut.to_scalar_table(types), dtype=jnp.float32),
+            "r_cut": np.asarray(self.r_cut.to_scalar_table(types), dtype=np.float32),
         }
 
     def _max_r_cut(self) -> float:

@@ -349,15 +349,28 @@ def _state_from_payload(cols: dict, template: State, box: Box, fields: tuple) ->
     )
 
 
-def _bin_to_slots(state: State, spec: GridSpec, N_tags: int, fields: tuple):
+def _bin_to_slots(
+    state: State, spec: GridSpec, N_tags: int, fields: tuple,
+    need_slot_of: bool = True,
+):
     """Core binning: any-order state (n rows) -> slot-order state (S rows).
 
     Positions are wrapped into the box here (and only here): between
     rebuilds the integrators leave positions unwrapped so that the
     pre-shifted stencil coordinates (make_jblocks) subtract exactly.
+
+    Gather-only dataflow: after the key sort, slot contents are produced
+    by a ROW GATHER from the sorted payload (for slot (c, r): row
+    ``start[c] + r``, valid while ``r < count[c]``). The original
+    formulation scattered sorted rows to their slots; on TPU that
+    row-scatter plus the rank-in-cell cummax cost ~3x the gather form
+    (row scatters issue one small DMA per row; the gather side needs no
+    rank at all because the slot grid enumerates ranks implicitly).
     """
     n = state.N
     S = spec.S
+    C = spec.n_cells
+    cap = spec.cap
     valid = state.tag >= 0
     pos_w, image_w = state.box.wrap(state.position, state.image)
     state = state.replace(position=pos_w, image=image_w)
@@ -365,7 +378,7 @@ def _bin_to_slots(state: State, spec: GridSpec, N_tags: int, fields: tuple):
         state.position[:, 0], state.position[:, 1], state.position[:, 2],
         state.box, spec.dims,
     )
-    cid = jnp.where(valid, cid, spec.n_cells)
+    cid = jnp.where(valid, cid, C)
 
     names = _payload_names(fields)
     cols = _per_particle_payload(state, fields)
@@ -381,7 +394,7 @@ def _bin_to_slots(state: State, spec: GridSpec, N_tags: int, fields: tuple):
     # multiples, scattering particles into the wrong cell.
     idx_bits = max(1, (n - 1).bit_length())
     use_fused = os.environ.get("AZTPU_FUSED_KEY", "1") != "0"
-    if use_fused and (spec.n_cells + 1) << idx_bits < 2**31:
+    if use_fused and (C + 1) << idx_bits < 2**31:
         key = (cid << jnp.int32(idx_bits)) | idx
         key_s = jax.lax.sort(key)
         cid_s = key_s >> jnp.int32(idx_bits)
@@ -393,37 +406,50 @@ def _bin_to_slots(state: State, spec: GridSpec, N_tags: int, fields: tuple):
     )  # [n, K] int32 (floats bitcast; see _INT_FIELDS note)
     packed_sorted = jnp.take(packed_in, perm, axis=0)
 
-    # rank-in-cell = index minus index-of-first-equal-key, via a running max
-    # of segment-start positions (searchsorted's binary search lowers to
-    # many strided 1-D gathers on TPU — measured ~20x slower than cummax)
-    iota = jnp.arange(n, dtype=jnp.int32)
-    change = jnp.concatenate(
-        [jnp.ones((1,), bool), cid_s[1:] != cid_s[:-1]]
-    )
-    first = jax.lax.cummax(jnp.where(change, iota, 0))
-    rank = iota - first
-    valid_s = cid_s < spec.n_cells
-    overflow = jnp.any(valid_s & (rank >= spec.cap))
-    dest = jnp.where(
-        valid_s & (rank < spec.cap), cid_s * spec.cap + rank, S
-    )  # S = dump slot
+    # per-cell start offsets in the sorted order (few queries -> the
+    # binary search is cheap here, unlike a per-particle searchsorted)
+    start = jnp.searchsorted(cid_s, jnp.arange(C + 1, dtype=jnp.int32))
+    start = start.astype(jnp.int32)
+    counts = start[1:] - start[:-1]  # [C]
+    overflow = jnp.any(counts > cap)
 
-    # one scatter of the packed payload rows
-    packed = packed_sorted
-    defaults = _payload_defaults(S + 1, state.box, spec, names)
-    base = jnp.stack(
-        [_as_payload_int(k, defaults[k]) for k in names], axis=-1
-    )  # [S+1, K] int32
-    out = base.at[dest].set(packed, mode="drop")[:S]
-    new_cols = {k: _from_payload_int(k, out[:, i]) for i, k in enumerate(names)}
+    # slot-side source rows: slot (c, r) <- sorted row start[c] + r
+    rank_b = jax.lax.broadcasted_iota(jnp.int32, (C, cap), 1)
+    src = start[:C, None] + rank_b
+    valid_slot = rank_b < jnp.minimum(counts, cap)[:, None]
+    src = jnp.where(valid_slot, src, n).reshape(S)  # n = default row
+
+    default_row = jnp.stack(
+        [
+            _as_payload_int(k, v)
+            for k, v in _payload_defaults(1, state.box, None, names).items()
+        ],
+        axis=-1,
+    )  # [1, K]
+    packed_pad = jnp.concatenate([packed_sorted, default_row], axis=0)
+    out = jnp.take(packed_pad, src, axis=0)  # [S, K] row gather
+
+    # unpack via one transpose: column slices of [S, K] are lane-strided
+    # on TPU (K << 128 lanes), a [K, S] transpose then row reads are not
+    out_t = out.T
+    new_cols = {k: _from_payload_int(k, out_t[i]) for i, k in enumerate(names)}
+    # empty-slot x sentinels are per-slot values (the single default row
+    # cannot carry them); splice them into the x column here
+    new_cols["x"] = jnp.where(
+        valid_slot.reshape(S), new_cols["x"], _sentinel_x(S, state.box, spec)
+    )
 
     dense = _state_from_payload(new_cols, state, state.box, fields)
-    # tag -> slot map (scatter; empty tags dropped via clipped index)
-    tags = dense.tag
-    slot_of = jnp.full((N_tags,), 0, jnp.int32)
-    slot_of = slot_of.at[jnp.where(tags >= 0, tags, N_tags)].set(
-        jnp.arange(S, dtype=jnp.int32), mode="drop"
-    )
+    if need_slot_of:
+        # tag -> slot map (scatter; empty tags dropped via clipped index);
+        # only bond forces consume this — skipped entirely otherwise
+        tags = dense.tag
+        slot_of = jnp.full((N_tags,), 0, jnp.int32)
+        slot_of = slot_of.at[jnp.where(tags >= 0, tags, N_tags)].set(
+            jnp.arange(S, dtype=jnp.int32), mode="drop"
+        )
+    else:
+        slot_of = jnp.zeros((0,), jnp.int32)
     meta = GridMeta(
         ref_position=dense.position,
         slot_of=slot_of,
@@ -433,13 +459,15 @@ def _bin_to_slots(state: State, spec: GridSpec, N_tags: int, fields: tuple):
     return dense, meta
 
 
-def densify(state: State, spec: GridSpec, fields: tuple = ALL_FIELDS):
+def densify(state: State, spec: GridSpec, fields: tuple = ALL_FIELDS,
+            need_slot_of: bool = True):
     """User (tag) order -> slot order. state must have N == number of tags."""
-    return _bin_to_slots(state, spec, state.N, fields)
+    return _bin_to_slots(state, spec, state.N, fields, need_slot_of)
 
 
-def rebin(dense: State, meta: GridMeta, spec: GridSpec, N_tags: int, fields: tuple = ALL_FIELDS):
-    new_dense, new_meta = _bin_to_slots(dense, spec, N_tags, fields)
+def rebin(dense: State, meta: GridMeta, spec: GridSpec, N_tags: int,
+          fields: tuple = ALL_FIELDS, need_slot_of: bool = True):
+    new_dense, new_meta = _bin_to_slots(dense, spec, N_tags, fields, need_slot_of)
     new_meta = new_meta.replace(
         overflow=new_meta.overflow | meta.overflow,
         n_builds=meta.n_builds + 1,

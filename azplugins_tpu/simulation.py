@@ -40,8 +40,13 @@ __all__ = ["Simulation", "Operations"]
 
 # module-level jitted wrappers: jax.jit caches compilations per wrapper
 # object, so these must be created once, not per call
-_densify_jit = jax.jit(D.densify, static_argnames=("spec", "fields"))
+_densify_jit = jax.jit(D.densify, static_argnames=("spec", "fields", "need_slot_of"))
 _undensify_jit = jax.jit(D.undensify, static_argnames=("N", "fields"))
+
+# absolute-timestep quantum for rebuild-interval adaptation: interval
+# changes only at multiples of this, keeping the rebuild schedule a pure
+# function of timestep (chunking-invariant trajectories)
+_GROW_QUANTUM = 100
 
 
 class Operations:
@@ -141,8 +146,14 @@ class Simulation:
         self.max_chunk = 1000
         # rebuild interval: neighbor structure rebuilds at every timestep
         # divisible by _seg_len (absolute schedule; run() halves it when
-        # the Verlet drift check flags a violation and replays)
+        # the Verlet drift check flags a violation and replays, and grows
+        # it back by 1 after clean chunks, capped by the violation ceiling)
         self._seg_len = 10
+        self._seg_ceiling = 50
+        self._clean_quanta = 0
+        # False pins the rebuild interval (violation halving still applies;
+        # quantum regrowth and chunk-splitting stop) — benchmarking hook
+        self._seg_adapt = True
         self._updater_jit: dict = {}
 
     # -- state management ------------------------------------------------
@@ -304,6 +315,9 @@ class Simulation:
         any_pair = any(getattr(f, "_needs_nlist", False) for f in forces)
         N_tags = self._state.N
         fields = self._fields
+        # the tag->slot map is consumed only by bond forces; skip its
+        # scatter in every rebuild when the system has no bonds
+        need_slot_of = self._state.n_bonds > 0
 
         # Orthorhombic boxes take the maskless sentinel fast path: empty
         # slots are excluded from every pair purely by their far sentinel
@@ -436,7 +450,7 @@ class Simulation:
                 d, mt, viol = carry
                 start = s * seg_len
                 steps = jnp.minimum(seg_len, n_steps - start)
-                d, mt = D.rebin(d, mt, spec, N_tags, fields)
+                d, mt = D.rebin(d, mt, spec, N_tags, fields, need_slot_of)
                 d, mt, _, viol = jax.lax.fori_loop(
                     0, steps, step_body, (d, mt, start, viol)
                 )
@@ -507,7 +521,10 @@ class Simulation:
             self._dense = state
             self._meta = self._identity_meta(state)
             return
-        self._dense, self._meta = _densify_jit(state, spec=self._grid_spec, fields=self._fields)
+        self._dense, self._meta = _densify_jit(
+            state, spec=self._grid_spec, fields=self._fields,
+            need_slot_of=state.n_bonds > 0,
+        )
         if bool(self._meta.overflow):
             self._grow_and_rebuild()
 
@@ -550,7 +567,13 @@ class Simulation:
         dt = self.dt_ref()
         if vmax > 0 and dt > 0:
             margin = 0.5 * spec.buffer
-            self._seg_len = max(1, min(50, int(margin / (vmax * dt * safety))))
+            est = max(1, min(50, int(margin / (vmax * dt * safety))))
+            self._seg_len = est
+            # the vmax-derived interval is also the best guess for the
+            # adaptive ceiling: regrowth past it would just trigger a
+            # violation replay
+            self._seg_ceiling = est
+            self._clean_quanta = 0
         cap = self._max_occupancy_cap(state, spec, slack)
         if cap != spec.cap:
             self._grid_spec = spec.replace(cap=cap)
@@ -568,7 +591,10 @@ class Simulation:
         for _ in range(8):
             self._grid_spec = self._grid_spec.grow()
             self._build_runner()
-            self._dense, self._meta = _densify_jit(state, spec=self._grid_spec, fields=self._fields)
+            self._dense, self._meta = _densify_jit(
+                state, spec=self._grid_spec, fields=self._fields,
+                need_slot_of=state.n_bonds > 0,
+            )
             if not bool(self._meta.overflow):
                 return
         raise RuntimeError("cell capacity growth did not converge")
@@ -659,6 +685,18 @@ class Simulation:
             nu = self._updater_next_fire(self._timestep)
             if nu is not None and nu - self._timestep + 1 < chunk:
                 chunk = nu - self._timestep + 1
+            # while the rebuild interval is still adapting, split chunks at
+            # absolute quantum boundaries so interval changes land at the
+            # same timestep regardless of run() chunking (bitwise
+            # chunking-invariance contract, tests/test_pair_dpd.py); once
+            # converged (seg == ceiling == max) chunks run unsplit
+            if self._seg_adapt and (
+                self._seg_len < self._seg_ceiling or self._seg_ceiling < 50
+            ):
+                chunk = min(
+                    chunk,
+                    _GROW_QUANTUM - self._timestep % _GROW_QUANTUM,
+                )
             # align to the absolute rebuild schedule (t % seg_len == 0) so
             # rebuild times are independent of run() chunking: an
             # unaligned start runs a no-rebuild continuation chunk up to
@@ -685,7 +723,11 @@ class Simulation:
                 if self._seg_len > 1:
                     # a particle out-drifted the Verlet margin inside a
                     # segment: halve the rebuild interval and replay
-                    # (seg_len == 1 rebuilds every step and is always valid)
+                    # (seg_len == 1 rebuilds every step and is always valid).
+                    # Remember the violating interval so regrowth stops
+                    # short of it (the ceiling itself relaxes slowly).
+                    self._seg_ceiling = max(1, self._seg_len - 1)
+                    self._clean_quanta = 0
                     self._dense, self._meta = backup_dense, backup_meta
                     self._seg_len = max(self._seg_len // 2, 1)
                     continue
@@ -706,6 +748,21 @@ class Simulation:
             self._state_stale = True
             self._timestep += chunk
             remaining -= chunk
+            # adaptive regrowth at absolute quantum boundaries (so the
+            # schedule is a pure function of timestep, not chunking): each
+            # clean quantum earns +1 on the rebuild interval (seg_len is a
+            # traced argument — no recompile); after 10 clean quanta at the
+            # ceiling, the ceiling itself relaxes by 1
+            if self._seg_adapt and self._timestep % _GROW_QUANTUM == 0:
+                self._clean_quanta += 1
+                if self._seg_len < self._seg_ceiling:
+                    self._seg_len += 1
+                elif (
+                    self._seg_ceiling < 50
+                    and self._clean_quanta % 10 == 0
+                ):
+                    self._seg_ceiling += 1
+                    self._seg_len = min(self._seg_len + 1, self._seg_ceiling)
             self._fire_updaters(self._timestep - 1)
             if writers:
                 _fire_writers(self, writers, self._timestep)

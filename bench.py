@@ -7,6 +7,14 @@ azplugins PerturbedLennardJones doc example cutoff), Verlet buffer 0.4,
 dt = 0.005, Langevin kT = 1.0. vs_baseline is measured TPS divided by an
 estimated HOOMD-blue H100 rate for the same system (no published number
 exists; see BASELINE.md — the reference publishes none).
+
+Timing protocol (axon TPU relay): ``block_until_ready`` acks EARLY through
+the relay, and fetching a whole array pays ~90 ms of tunnel bandwidth, so
+every timed region (a) truly drains the device by fetching ONE scalar
+sliced on-device, and (b) is DIFFERENTIAL — the same jitted computation at
+two step counts, divided by the step difference — so dispatch/fetch fixed
+costs cancel. This is what made round-1's force_kernel_ms (17.9 ms inside
+a 2.3 ms step) nonsense: its fetch drained the still-running main loop.
 """
 
 import json
@@ -19,6 +27,11 @@ import numpy as np
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 H100_HOOMD_TPS_ESTIMATE = 1500.0  # documented estimate, see BENCH.md
+
+
+def sync_scalar(x):
+    """True device drain: fetch one element, sliced on-device first."""
+    np.asarray(x[(0,) * x.ndim])
 
 
 def build_sim(N_side=40, rho=0.85, seed=12345):
@@ -46,43 +59,104 @@ def build_sim(N_side=40, rho=0.85, seed=12345):
     return sim, lj
 
 
-def time_force_kernel(sim, lj, iters=50):
-    """Isolated force-kernel latency (dense stencil pair force).
+def time_steps(sim, n_lo, n_hi, reps=3):
+    """Differential ms/step of the production ``run()`` path.
 
-    Measured with an on-device fori_loop: through the remote TPU relay,
-    per-call timing round-trips arguments and block_until_ready acks early.
+    One untimed priming pair first: the lo/hi windows can start at
+    different rebuild-schedule offsets, and the first unaligned chunk
+    compiles a continuation variant (~5 s) that would poison a timed
+    window. Median over reps rejects any residual outlier.
+    """
+    diffs = []
+    sim.run(n_lo)
+    sim.run(n_hi)
+    sync_scalar(sim._dense.position)
+    for _ in range(reps):
+        t0 = time.perf_counter()
+        sim.run(n_lo)
+        sync_scalar(sim._dense.position)
+        t_lo = time.perf_counter() - t0
+        t0 = time.perf_counter()
+        sim.run(n_hi)
+        sync_scalar(sim._dense.position)
+        t_hi = time.perf_counter() - t0
+        diffs.append((t_hi - t_lo) / (n_hi - n_lo) * 1e3)
+    diffs.sort()
+    return diffs[len(diffs) // 2]
+
+
+def time_force_kernel(sim, lj, n_lo=20, n_hi=120):
+    """Isolated force-kernel latency on the PRODUCTION path.
+
+    Same flags as the hot loop (want="force", half-stencil, maskless,
+    Pallas-eligible cap); differential over a traced-length on-device loop.
     """
     import jax
     import jax.numpy as jnp
 
+    from azplugins_tpu.ops import dense as D
+
     ctx = sim._ctx()
     tbl = lj._device_tables()
     spec = sim._grid_spec
-    from azplugins_tpu.ops import dense as D
 
     @jax.jit
-    def loop(dense):
+    def loop(dense, n):
         def body(i, d):
             # nudge positions so XLA cannot hoist the loop-invariant kernel
             d = d.replace(position=d.position + jnp.float32(1e-9) * i)
-            jb = D.make_jblocks(
-                d, spec, half=spec.newton_ok, need_typeid=False
-            )
+            jb = D.make_jblocks(d, spec, half=spec.newton_ok, need_typeid=False)
             r = lj._compute_dense(
-                d, jb, spec, None, jnp.int32(i), ctx, tbl, want="force",
-                masked=False,
+                d, jb, spec, None, i, ctx, tbl, want="force", masked=False,
             )
             return d.replace(net_force=r.force)
 
-        return jax.lax.fori_loop(0, iters, body, dense)
+        return jax.lax.fori_loop(0, n, body, dense)
 
-    out = loop(sim._dense)
-    jax.block_until_ready(out.position)
+    sync_scalar(loop(sim._dense, jnp.int32(n_hi)).net_force)
+    best = float("inf")
+    for _ in range(2):
+        t0 = time.perf_counter()
+        sync_scalar(loop(sim._dense, jnp.int32(n_lo)).net_force)
+        t_lo = time.perf_counter() - t0
+        t0 = time.perf_counter()
+        sync_scalar(loop(sim._dense, jnp.int32(n_hi)).net_force)
+        t_hi = time.perf_counter() - t0
+        best = min(best, (t_hi - t_lo) / (n_hi - n_lo) * 1e3)
+    return best
+
+
+def time_rebin(sim, n_lo=5, n_hi=30):
+    """Differential cost of one neighbor rebuild (rebin sort)."""
+    import jax
+    import jax.numpy as jnp
+
+    from azplugins_tpu.ops import dense as D
+
+    spec = sim._grid_spec
+    N_tags = sim._state.N
+    fields = sim._fields
+    # match the production flag: a bond-free system carries an empty
+    # slot_of, and the fori_loop carry must keep that shape
+    need_slot_of = sim._meta.slot_of.shape[0] > 0
+
+    @jax.jit
+    def loop(dense, meta, n):
+        def body(i, carry):
+            d, mt = carry
+            d = d.replace(position=d.position + jnp.float32(1e-9) * i)
+            return D.rebin(d, mt, spec, N_tags, fields, need_slot_of)
+
+        return jax.lax.fori_loop(0, n, body, (dense, meta))
+
+    sync_scalar(loop(sim._dense, sim._meta, jnp.int32(n_hi))[0].position)
     t0 = time.perf_counter()
-    out = loop(sim._dense)
-    jax.block_until_ready(out.position)
-    np.asarray(out.net_force[0])
-    return (time.perf_counter() - t0) / iters * 1e3
+    sync_scalar(loop(sim._dense, sim._meta, jnp.int32(n_lo))[0].position)
+    t_lo = time.perf_counter() - t0
+    t0 = time.perf_counter()
+    sync_scalar(loop(sim._dense, sim._meta, jnp.int32(n_hi))[0].position)
+    t_hi = time.perf_counter() - t0
+    return (t_hi - t_lo) / (n_hi - n_lo) * 1e3
 
 
 def _stage(msg):
@@ -101,17 +175,22 @@ def main():
     sim.run(warm_steps)  # compile + equilibrate + settle capacities
     _stage(f"warmup {warm_steps} steps in {time.perf_counter()-t0:.1f}s")
     sim.tune_cell_capacity()  # shrink transient overflow growth (one recompile)
-    sim.run(10)
-    _stage(f"tuned: cap={sim._grid_spec.cap} dims={sim._grid_spec.dims}")
+    # settle: let the rebuild interval adapt (violation halvings + quantum
+    # regrowth) at production temperature, then FREEZE it — the timed
+    # windows must have homogeneous per-step cost or the differential is
+    # garbage (a replay inside one window made round-2's first TPS negative)
+    sim.run(300)
+    sim._seg_adapt = False
+    _stage(f"tuned: cap={sim._grid_spec.cap} dims={sim._grid_spec.dims} "
+           f"seg_len={sim._seg_len}")
 
-    t0 = time.perf_counter()
-    sim.run(steps)
-    elapsed = time.perf_counter() - t0
-    tps = steps / elapsed
-    _stage(f"timed {steps} steps in {elapsed:.1f}s")
+    ms_per_step = time_steps(sim, max(steps // 5, 1), steps)
+    tps = 1e3 / ms_per_step
+    _stage(f"timed: {ms_per_step:.3f} ms/step ({tps:.0f} TPS)")
 
     kernel_ms = time_force_kernel(sim, lj)
-    _stage("kernel timed")
+    rebin_ms = time_rebin(sim)
+    _stage(f"kernel {kernel_ms:.3f} ms, rebin {rebin_ms:.3f} ms")
     n_builds = int(sim._meta.n_builds)
 
     # physics sanity so the number is honest: temperature near target
@@ -130,8 +209,10 @@ def main():
         "extra": {
             "N": sim._synced_state().N,
             "force_kernel_ms": round(kernel_ms, 3),
-            "ms_per_step": round(1e3 / tps, 3),
+            "rebin_ms": round(rebin_ms, 3),
+            "ms_per_step": round(ms_per_step, 3),
             "nlist_rebuilds": n_builds,
+            "rebuild_interval": sim._seg_len,
             "kinetic_temperature": round(float(kT), 3),
             "baseline_note": "vs estimated HOOMD H100 1500 TPS (no published ref numbers)",
         },
