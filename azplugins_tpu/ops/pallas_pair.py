@@ -116,43 +116,57 @@ def _kernel(eval_f_divr, cap, Jseg, CB, n_sc, sc_ref,
         )
     NT = Jseg // H
 
-    def jt_body(jt, _):
-        j0 = pl.multiple_of(jt * H, H)
-        jx_t = jx_ref[pl.ds(j0, H), :]
-        jy_t = jy_ref[pl.ds(j0, H), :]
-        jz_t = jz_ref[pl.ds(j0, H), :]
-        # global J rows of this subtile; rows outside the self cell never
-        # mask (huge sentinel index), so the Newton strict-upper-triangle
-        # check is one compare folded into the cutoff via rsq
-        jrow = kseg * Jseg + j0 + jax.lax.broadcasted_iota(
-            jnp.int32, (H, CB), 0
-        )
-        jrow_self = jnp.where(jrow < cap, jrow, jnp.int32(0x7FFFFFF0))
-        fjx = jnp.zeros((H, CB), jnp.float32)
-        fjy = jnp.zeros((H, CB), jnp.float32)
-        fjz = jnp.zeros((H, CB), jnp.float32)
-        for s in range(cap):
-            dx = xi[s, :][None, :] - jx_t
-            dy = yi[s, :][None, :] - jy_t
-            dz = zi[s, :][None, :] - jz_t
-            rsq = dx * dx + dy * dy + dz * dz
-            rsq = jnp.where(jrow_self > s, rsq, jnp.float32(1.0e30))
-            f = eval_f_divr(rsq, svals)
-            fx = f * dx
-            fy = f * dy
-            fz = f * dz
-            fjx = fjx - fx
-            fjy = fjy - fy
-            fjz = fjz - fz
-            sxi_ref[s, :] += jnp.sum(fx, axis=0)
-            syi_ref[s, :] += jnp.sum(fy, axis=0)
-            szi_ref[s, :] += jnp.sum(fz, axis=0)
-        fxj_ref[pl.ds(j0, H), :] = fjx
-        fyj_ref[pl.ds(j0, H), :] = fjy
-        fzj_ref[pl.ds(j0, H), :] = fjz
-        return 0
+    def make_jt_body(with_tri):
+        def jt_body(jt, _):
+            j0 = pl.multiple_of(jt * H, H)
+            jx_t = jx_ref[pl.ds(j0, H), :]
+            jy_t = jy_ref[pl.ds(j0, H), :]
+            jz_t = jz_ref[pl.ds(j0, H), :]
+            if with_tri:
+                # self-cell rows (global J row < cap): Newton strict
+                # upper triangle via one compare folded into rsq
+                jrow = j0 + jax.lax.broadcasted_iota(
+                    jnp.int32, (H, CB), 0
+                )
+            fjx = jnp.zeros((H, CB), jnp.float32)
+            fjy = jnp.zeros((H, CB), jnp.float32)
+            fjz = jnp.zeros((H, CB), jnp.float32)
+            for s in range(cap):
+                dx = xi[s, :][None, :] - jx_t
+                dy = yi[s, :][None, :] - jy_t
+                dz = zi[s, :][None, :] - jz_t
+                rsq = dx * dx + dy * dy + dz * dz
+                if with_tri:
+                    rsq = jnp.where(jrow > s, rsq, jnp.float32(1.0e30))
+                f = eval_f_divr(rsq, svals)
+                fx = f * dx
+                fy = f * dy
+                fz = f * dz
+                fjx = fjx - fx
+                fjy = fjy - fy
+                fjz = fjz - fz
+                sxi_ref[s, :] += jnp.sum(fx, axis=0)
+                syi_ref[s, :] += jnp.sum(fy, axis=0)
+                szi_ref[s, :] += jnp.sum(fz, axis=0)
+            fxj_ref[pl.ds(j0, H), :] = fjx
+            fyj_ref[pl.ds(j0, H), :] = fjy
+            fzj_ref[pl.ds(j0, H), :] = fjz
+            return 0
 
-    jax.lax.fori_loop(0, NT, jt_body, 0)
+        return jt_body
+
+    # the self cell occupies global J rows [0, cap) — the first cap/H
+    # subtiles of segment 0; all other subtiles skip the triangle compare
+    n_tri = cap // H
+
+    @pl.when(kseg == 0)
+    def _():
+        jax.lax.fori_loop(0, n_tri, make_jt_body(True), 0)
+        jax.lax.fori_loop(n_tri, NT, make_jt_body(False), 0)
+
+    @pl.when(kseg > 0)
+    def _():
+        jax.lax.fori_loop(0, NT, make_jt_body(False), 0)
 
     # merge this segment's i-side partials; the fi block is revisited
     # across the (innermost) segment grid dimension

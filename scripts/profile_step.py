@@ -103,7 +103,10 @@ def main():
         def body(i, carry):
             d, mt = carry
             d = d.replace(position=d.position + jnp.float32(1e-9) * i)
-            return D.rebin(d, mt, spec, N_tags, fields)
+            return D.rebin(
+                d, mt, spec, N_tags, fields,
+                need_slot_of=mt.slot_of.shape[0] > 0,
+            )
 
         return jax.lax.fori_loop(0, steps, body, (dense, meta))
 

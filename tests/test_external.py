@@ -193,3 +193,151 @@ def test_barrier_outside_box_raises(simulation_factory, two_particle_snapshot_fa
     sim.operations.integrator.forces.append(barrier)
     with pytest.raises(ValueError):
         sim.run(0)
+
+
+def _lj93_closed_form(eps, sig, z):
+    lj1 = (2.0 / 15.0) * eps * sig**9
+    lj2 = eps * sig**3
+    U = lj1 / z**9 - lj2 / z**3
+    F = 9 * lj1 / z**10 - 3 * lj2 / z**4
+    return U, F
+
+
+def test_lj93_sphere_wall(simulation_factory):
+    """Sphere wall (inside): gap distance d = R - |r|, force radially inward."""
+    snap = az.Snapshot(N=2)
+    snap.configuration.box = [30, 30, 30, 0, 0, 0]
+    snap.particles.types = ["A"]
+    # particle 0 at radius 4 inside an R=5.5 sphere -> d = 1.5
+    snap.particles.position[:] = [[4.0, 0, 0], [0, 0, 0]]
+    sim = simulation_factory(snap)
+    sim.operations.integrator = _integrator()
+
+    sphere = az.external.wall.Sphere(radius=5.5, inside=True)
+    w = az.external.wall.LJ93(walls=[sphere])
+    eps, sig = 2.0, 1.1
+    w.params["A"] = dict(epsilon=eps, sigma=sig, r_cut=3.0)
+    sim.operations.integrator.forces.append(w)
+    sim.run(0)
+
+    U, F = _lj93_closed_form(eps, sig, 1.5)
+    numpy.testing.assert_allclose(w.energies[0], U, rtol=1e-5)
+    # direction of increasing gap = toward the center = -x
+    numpy.testing.assert_allclose(w.forces[0], [-F, 0, 0], rtol=1e-5, atol=1e-6)
+    # center particle: d = 5.5 > r_cut -> nothing
+    numpy.testing.assert_allclose(w.energies[1], 0.0, atol=1e-6)
+
+
+def test_lj93_sphere_wall_outside(simulation_factory):
+    """Sphere wall (outside): d = |r| - R, force radially outward."""
+    snap = az.Snapshot(N=1)
+    snap.configuration.box = [30, 30, 30, 0, 0, 0]
+    snap.particles.types = ["A"]
+    snap.particles.position[:] = [[0, 4.0, 0]]
+    sim = simulation_factory(snap)
+    sim.operations.integrator = _integrator()
+
+    sphere = az.external.wall.Sphere(radius=2.5, inside=False)
+    w = az.external.wall.LJ93(walls=[sphere])
+    eps, sig = 1.5, 1.0
+    w.params["A"] = dict(epsilon=eps, sigma=sig, r_cut=3.0)
+    sim.operations.integrator.forces.append(w)
+    sim.run(0)
+
+    U, F = _lj93_closed_form(eps, sig, 1.5)
+    numpy.testing.assert_allclose(w.energies[0], U, rtol=1e-5)
+    numpy.testing.assert_allclose(w.forces[0], [0, F, 0], rtol=1e-5, atol=1e-6)
+
+
+def test_lj93_cylinder_wall(simulation_factory):
+    """Cylinder wall (inside, z axis): d = R - rho, force toward the axis."""
+    snap = az.Snapshot(N=1)
+    snap.configuration.box = [30, 30, 30, 0, 0, 0]
+    snap.particles.types = ["A"]
+    snap.particles.position[:] = [[3.0, 0, 5.0]]  # rho = 3, z free
+    sim = simulation_factory(snap)
+    sim.operations.integrator = _integrator()
+
+    cyl = az.external.wall.Cylinder(radius=4.2, axis=(0, 0, 1), inside=True)
+    w = az.external.wall.LJ93(walls=[cyl])
+    eps, sig = 2.0, 1.1
+    w.params["A"] = dict(epsilon=eps, sigma=sig, r_cut=3.0)
+    sim.operations.integrator.forces.append(w)
+    sim.run(0)
+
+    U, F = _lj93_closed_form(eps, sig, 1.2)
+    numpy.testing.assert_allclose(w.energies[0], U, rtol=1e-5)
+    numpy.testing.assert_allclose(w.forces[0], [-F, 0, 0], rtol=1e-5, atol=1e-6)
+
+
+def test_lj93_wall_r_extrap(simulation_factory):
+    """r_extrap: linear continuation below r_extrap, finite when penetrated.
+
+    Semantics of HOOMD's EvaluatorWalls extrapolated mode, consumed by the
+    reference at /root/reference/src/WallPotentials.h:63-85.
+    """
+    snap = az.Snapshot(N=3)
+    snap.configuration.box = [20, 20, 20, 0, 0, 0]
+    snap.particles.types = ["A"]
+    # wall plane at z=-9: distances 0.5 (below r_extrap), -0.3 (penetrated),
+    # 2.0 (normal branch)
+    snap.particles.position[:] = [
+        [0, 0, -8.5],
+        [0, 0, -9.3],
+        [0, 0, -7.0],
+    ]
+    sim = simulation_factory(snap)
+    sim.operations.integrator = _integrator()
+
+    plane = az.external.wall.Plane(origin=(0, 0, -9.0), normal=(0, 0, 1))
+    w = az.external.wall.LJ93(walls=[plane])
+    eps, sig, rext = 2.0, 1.1, 1.0
+    w.params["A"] = dict(epsilon=eps, sigma=sig, r_cut=3.0, r_extrap=rext)
+    sim.operations.integrator.forces.append(w)
+    sim.run(0)
+
+    U_ext, F_ext = _lj93_closed_form(eps, sig, rext)
+    # d = 0.5 < r_extrap: F = F(rext), U = U(rext) + (rext - d) F(rext)
+    numpy.testing.assert_allclose(w.forces[0], [0, 0, F_ext], rtol=1e-5)
+    numpy.testing.assert_allclose(
+        w.energies[0], U_ext + (rext - 0.5) * F_ext, rtol=1e-5
+    )
+    # penetrated d = -0.3: same force, energy keeps growing linearly
+    numpy.testing.assert_allclose(w.forces[1], [0, 0, F_ext], rtol=1e-5)
+    numpy.testing.assert_allclose(
+        w.energies[1], U_ext + (rext + 0.3) * F_ext, rtol=1e-5
+    )
+    # d = 2.0 >= r_extrap: normal branch untouched
+    U2, F2 = _lj93_closed_form(eps, sig, 2.0)
+    numpy.testing.assert_allclose(w.forces[2], [0, 0, F2], rtol=1e-5, atol=1e-6)
+    numpy.testing.assert_allclose(w.energies[2], U2, rtol=1e-5)
+
+
+def test_colloid_sphere_wall(simulation_factory):
+    """Colloid evaluator on a spherical wall geometry (diameter-aware)."""
+    snap = az.Snapshot(N=1)
+    snap.configuration.box = [40, 40, 40, 0, 0, 0]
+    snap.particles.types = ["A"]
+    snap.particles.position[:] = [[0, 0, 6.0]]  # R=8.5 inside -> d = 2.5
+    snap.particles.diameter[:] = [3.0]
+    sim = simulation_factory(snap)
+    sim.operations.integrator = _integrator()
+
+    sphere = az.external.wall.Sphere(radius=8.5, inside=True)
+    w = az.external.wall.Colloid(walls=[sphere])
+    A, sig = 100.0, 1.05
+    w.params["A"] = dict(A=A, sigma=sig, r_cut=6.0)
+    sim.operations.integrator.forces.append(w)
+    sim.run(0)
+
+    a, z = 1.5, 2.5
+    C1 = A * sig**6 / 7560.0
+    C2 = A / 6.0
+    U = C1 * ((7 * a - z) / (z - a) ** 7 + (7 * a + z) / (z + a) ** 7)
+    U -= C2 * (2 * a * z / (z**2 - a**2) + numpy.log((z - a) / (z + a)))
+    f_divr = 6 * C1 * (
+        (8 * (a / z) - 1) / (z - a) ** 8 + (8 * (a / z) + 1) / (z + a) ** 8
+    ) - C2 * 4 * a**2 * (a / z) / (z**2 - a**2) ** 2
+    F = f_divr * z
+    numpy.testing.assert_allclose(w.energies[0], U, rtol=1e-4)
+    numpy.testing.assert_allclose(w.forces[0], [0, 0, -F], rtol=1e-4, atol=1e-6)
