@@ -18,6 +18,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
+from .logging import log
 from .md.filter import All, ParticleFilter
 from .ops.binning import bin_particles, cartesian_coords, cylindrical_coords
 
@@ -63,8 +64,11 @@ class VelocityCompute(Compute):
         typeids = np.asarray(sim._synced_state().typeid)
         self._mask = jnp.asarray(self.filter.mask(typeids, sim._particle_types))
 
-    @property
+    @log(category="sequence", requires_run=True)
     def velocity(self):
+        """Center-of-mass velocity of the group (loggable, category
+        "sequence" — the contract the reference tests at
+        /root/reference/src/pytest/test_compute.py:105-115)."""
         self._require_attached("velocity")
         state = self._sim._synced_state()
         return np.asarray(_group_velocity(state.velocity, state.mass, self._mask))
@@ -121,8 +125,9 @@ class VelocityFieldCompute(Compute):
     def _compact_shape(self):
         return tuple(b for b in self.num_bins if b > 0)
 
-    @property
+    @log(category="object", requires_run=True)
     def velocities(self):
+        """Mass-averaged velocity per bin (compact shape + vector axis)."""
         self._require_attached("velocities")
         state = self._sim._synced_state()
         if self._calc_jit is None:
@@ -170,7 +175,14 @@ class CylindricalVelocityFieldCompute(VelocityFieldCompute):
 
 
 class ThermodynamicQuantities(Compute):
-    """Kinetic temperature / energies of a group (HOOMD-substrate parity)."""
+    """Kinetic temperature / energies / pressure of a group.
+
+    HOOMD-substrate parity (consumed by the reference's DPD statistical
+    test, /root/reference/src/pytest/test_pair_dpd.py:19-46). Pressure is
+    assembled from the per-particle virials the pair/bond kernels already
+    compute; barriers contribute no virial by design (reference
+    HarmonicBarrier.h:132-142).
+    """
 
     def __init__(self, filter: ParticleFilter | None = None):
         super().__init__()
@@ -182,27 +194,84 @@ class ThermodynamicQuantities(Compute):
         typeids = np.asarray(sim._synced_state().typeid)
         self._mask = jnp.asarray(self.filter.mask(typeids, sim._particle_types))
 
-    @property
+    @log(requires_run=True)
     def kinetic_energy(self) -> float:
+        """Translational kinetic energy of the group."""
         self._require_attached("kinetic_energy")
         state = self._sim._synced_state()
         m = jnp.where(self._mask, state.mass, 0.0)
         ke = 0.5 * jnp.sum(m * jnp.sum(state.velocity**2, axis=-1))
         return float(ke)
 
-    @property
+    def _n_selected(self) -> int:
+        return int(np.asarray(jnp.sum(self._mask.astype(jnp.int32))))
+
+    @log(requires_run=True)
     def translational_degrees_of_freedom(self) -> float:
+        """3N minus 3 when every integration method conserves the COM
+        momentum of the full system (NVE); Langevin/Brownian thermostats
+        break momentum conservation, so no modes are subtracted (HOOMD's
+        DOF accounting)."""
         self._require_attached("translational_degrees_of_freedom")
-        # COM momentum is conserved for the NVE/Langevin set: 3N - 3
-        n = int(np.asarray(jnp.sum(self._mask.astype(jnp.int32))))
-        return 3.0 * n - 3.0
+        n = self._n_selected()
+        integ = self._sim.operations.integrator
+        conserves = True
+        if integ is not None:
+            conserves = all(
+                getattr(m, "_conserves_momentum", False) for m in integ.methods
+            )
+        whole_system = isinstance(self.filter, All)
+        return 3.0 * n - (3.0 if (conserves and whole_system and n > 0) else 0.0)
 
-    @property
+    @log(requires_run=True)
+    def rotational_degrees_of_freedom(self) -> float:
+        """Degrees of freedom of the rotating particles (zero unless the
+        integrator integrates rotational DOF; one per non-zero principal
+        moment of inertia)."""
+        self._require_attached("rotational_degrees_of_freedom")
+        integ = self._sim.operations.integrator
+        if integ is None or not integ.integrate_rotational_dof:
+            return 0.0
+        state = self._sim._synced_state()
+        active = np.asarray(state.moment_inertia) > 1e-12
+        return float(np.sum(active[np.asarray(self._mask)]))
+
+    @log(requires_run=True)
+    def rotational_kinetic_energy(self) -> float:
+        """Sum of L_body^2 / (2 I) over rotating particles in the group."""
+        self._require_attached("rotational_kinetic_energy")
+        integ = self._sim.operations.integrator
+        if integ is None or not integ.integrate_rotational_dof:
+            return 0.0
+        from .md import rotation as R
+
+        state = self._sim._synced_state()
+        L = R.body_angular_momentum(state.orientation, state.angmom)
+        inertia = state.moment_inertia
+        active = inertia > 1e-12
+        ke = 0.5 * jnp.sum(
+            jnp.where(
+                active & self._mask[:, None],
+                L * L / jnp.maximum(inertia, 1e-12),
+                0.0,
+            )
+        )
+        return float(ke)
+
+    @log(requires_run=True)
     def kinetic_temperature(self) -> float:
-        return 2.0 * self.kinetic_energy / self.translational_degrees_of_freedom
+        """2 KE / DOF over the translational (+ rotational) modes."""
+        dof = self.translational_degrees_of_freedom
+        ke = self.kinetic_energy
+        rdof = self.rotational_degrees_of_freedom
+        if rdof > 0:
+            ke += self.rotational_kinetic_energy
+            dof += rdof
+        return 2.0 * ke / dof
 
-    @property
+    @log(requires_run=True)
     def potential_energy(self) -> float:
+        """Sum of the attached forces' potential energies."""
         self._require_attached("potential_energy")
         sim = self._sim
         total = 0.0
@@ -210,6 +279,50 @@ class ThermodynamicQuantities(Compute):
             for f in sim.operations.integrator.forces:
                 total += f.energy
         return total
+
+    @log(requires_run=True)
+    def volume(self) -> float:
+        """Volume of the global simulation box."""
+        self._require_attached("volume")
+        box = self._sim._synced_state().box
+        L = np.asarray(box.L)
+        return float(L[0] * L[1] * L[2])
+
+    def _virial_sum(self) -> np.ndarray:
+        """Total virial tensor components (xx, xy, xz, yy, yz, zz)."""
+        total = np.zeros(6)
+        integ = self._sim.operations.integrator
+        if integ is not None:
+            for f in integ.forces:
+                v = f.virials
+                if v is not None:
+                    total += np.asarray(v).sum(axis=0)
+        return total
+
+    @log(requires_run=True)
+    def pressure(self) -> float:
+        """Isotropic pressure P = (2 KE + W) / (3 V), W the virial trace."""
+        self._require_attached("pressure")
+        w = self._virial_sum()
+        return float(
+            (2.0 * self.kinetic_energy + w[0] + w[3] + w[5])
+            / (3.0 * self.volume)
+        )
+
+    @log(category="sequence", requires_run=True)
+    def pressure_tensor(self) -> np.ndarray:
+        """Pressure tensor (P_xx, P_xy, P_xz, P_yy, P_yz, P_zz)."""
+        self._require_attached("pressure_tensor")
+        state = self._sim._synced_state()
+        m = np.where(np.asarray(self._mask), np.asarray(state.mass), 0.0)
+        v = np.asarray(state.velocity)
+        kin = np.stack(
+            [
+                (m * v[:, a] * v[:, b]).sum()
+                for a, b in ((0, 0), (0, 1), (0, 2), (1, 1), (1, 2), (2, 2))
+            ]
+        )
+        return (kin + self._virial_sum()) / self.volume
 
 
 @jax.jit

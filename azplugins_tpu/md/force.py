@@ -12,6 +12,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from ..core.typeparam import TypeParameter
+from ..logging import log
 from ..ops.pair_force import ForceResult
 
 __all__ = ["Force", "SimContext"]
@@ -89,24 +90,29 @@ class Force:
             )
         return self._sim._compute_single_force(self)
 
-    @property
+    @log(category="particle", requires_run=True)
     def forces(self) -> np.ndarray:
+        """Per-particle forces (tag order)."""
         return np.asarray(self._result().force)
 
-    @property
+    @log(category="particle", requires_run=True)
     def energies(self) -> np.ndarray:
+        """Per-particle potential energies (tag order)."""
         return np.asarray(self._result().energy)
 
-    @property
+    @log(requires_run=True)
     def energy(self) -> float:
+        """Total potential energy of this force."""
         return float(jnp.sum(self._result().energy))
 
-    @property
+    @log(category="particle", requires_run=True, default=False)
     def virials(self) -> np.ndarray:
+        """Per-particle virial tensor components (tag order)."""
         return np.asarray(self._result().virial)
 
-    @property
+    @log(category="particle", requires_run=True, default=False)
     def torques(self) -> np.ndarray:
+        """Per-particle torques (zero for isotropic forces)."""
         r = self._result()
         if r.torque is None:
             return np.zeros((r.force.shape[0], 3), dtype=np.float32)

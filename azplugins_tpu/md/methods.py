@@ -32,6 +32,10 @@ __all__ = ["Method", "ConstantVolume", "Langevin", "LangevinFlow", "Brownian", "
 
 
 class Method:
+    # True when the method conserves total momentum (plain NVE): consumed
+    # by ThermodynamicQuantities' DOF accounting (3N-3 vs 3N)
+    _conserves_momentum = False
+
     def __init__(self, filter: ParticleFilter | None = None):
         self.filter = filter if filter is not None else All()
         self._select = None  # traced selector, bound at attach
@@ -111,6 +115,8 @@ class Method:
 
 class ConstantVolume(Method):
     """NVE velocity Verlet (dummy-integrator role in the parity tests)."""
+
+    _conserves_momentum = True
 
 
 class _GammaMixin:

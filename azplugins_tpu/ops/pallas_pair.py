@@ -46,11 +46,26 @@ __all__ = ["stencil_pair_force_kernel", "has_tpu", "pallas_mode"]
 
 _SENTINEL = 1.0e18
 # j-subtile height of the pair microkernel (rows per register-resident
-# tile); must divide cap. 8 = one native (8,128) f32 tile.
-_SUBTILE_H = int(__import__("os").environ.get("AZTPU_SUBTILE_H", "8"))
+# tile). 16 measured ~35% faster than 8 at 64k (fewer per-subtile i-row
+# reduce/RMW issues); 32 regressed (register spill). Falls back to 8 when
+# the J segment is not a multiple (see _kernel).
+_SUBTILE_H = int(__import__("os").environ.get("AZTPU_SUBTILE_H", "16"))
 # scoped VMEM budget for choosing the J-segment size (the hardware limit
 # is 16M; leave headroom for Mosaic's own temporaries)
 _VMEM_BUDGET = 10 * 1024 * 1024
+
+
+def approx_recip(x):
+    """Fast reciprocal: hardware approximate + one Newton step.
+
+    The VPU's exact f32 divide is the single most expensive op in the LJ
+    evaluator (measured ~45%% of the pair kernel); the approximate
+    reciprocal instruction (~2^-12) refined once reaches ~2^-24 relative —
+    the same order as the exact divide's rounding. Only valid inside a
+    compiled Mosaic kernel; interpret mode / XLA paths use exact division.
+    """
+    r0 = pl.reciprocal(x, approx=True)
+    return r0 * (2.0 - x * r0)
 
 
 @functools.cache
@@ -124,7 +139,9 @@ def _kernel(eval_f_divr, cap, Jseg, CB, n_sc, sc_ref,
             jz_t = jz_ref[pl.ds(j0, H), :]
             if with_tri:
                 # self-cell rows (global J row < cap): Newton strict
-                # upper triangle via one compare folded into rsq
+                # upper triangle via one compare folded into rsq. Rows of
+                # this subtile past the self cell (jrow >= cap) are never
+                # masked automatically: i indices s < cap <= jrow
                 jrow = j0 + jax.lax.broadcasted_iota(
                     jnp.int32, (H, CB), 0
                 )
@@ -155,9 +172,10 @@ def _kernel(eval_f_divr, cap, Jseg, CB, n_sc, sc_ref,
 
         return jt_body
 
-    # the self cell occupies global J rows [0, cap) — the first cap/H
-    # subtiles of segment 0; all other subtiles skip the triangle compare
-    n_tri = cap // H
+    # the self cell occupies global J rows [0, cap): the first
+    # ceil(cap/H) subtiles of segment 0 carry the triangle compare, all
+    # others skip it (a partial boundary subtile is safe — see jt_body)
+    n_tri = -(-cap // H)
 
     @pl.when(kseg == 0)
     def _():

@@ -47,8 +47,24 @@ class Logger:
     def __init__(self):
         self._items: dict[str, object] = {}
 
-    def add(self, obj, quantities: list[str], prefix: str | None = None):
+    def add(self, obj, quantities: list[str] | None = None, prefix: str | None = None):
+        """Register quantities of ``obj``.
+
+        With ``quantities=None``, every loggable registered via
+        ``azplugins_tpu.logging.log`` with ``default=True`` is added
+        (hoomd.logging.Logger.add parity).
+        """
+        from .logging import loggables
+
         prefix = prefix if prefix is not None else type(obj).__name__
+        if quantities is None:
+            quantities = [
+                name for name, meta in loggables(obj).items() if meta["default"]
+            ]
+            if not quantities:
+                raise ValueError(
+                    f"{type(obj).__name__} exposes no default loggable quantities"
+                )
         for q in quantities:
             if not hasattr(type(obj), q) and not hasattr(obj, q):
                 raise AttributeError(f"{type(obj).__name__} has no quantity {q!r}")

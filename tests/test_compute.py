@@ -164,3 +164,104 @@ def test_thermo_kinetic_temperature():
     assert thermo.kinetic_energy == pytest.approx(1.0)
     assert thermo.translational_degrees_of_freedom == 3.0
     assert thermo.kinetic_temperature == pytest.approx(2.0 / 3.0)
+
+
+def test_logging_contract():
+    """Loggable-category contract (reference test_compute.py:105-115)."""
+    from azplugins_tpu.logging import LoggerCategories, logging_check
+
+    logging_check(
+        az.compute.VelocityCompute,
+        {"velocity": {"category": LoggerCategories.sequence, "default": True}},
+    )
+    logging_check(
+        az.compute.ThermodynamicQuantities,
+        {
+            "kinetic_energy": {"category": LoggerCategories.scalar},
+            "potential_energy": {"category": LoggerCategories.scalar},
+            "kinetic_temperature": {"category": LoggerCategories.scalar},
+            "pressure": {"category": LoggerCategories.scalar},
+            "pressure_tensor": {"category": LoggerCategories.sequence},
+            "translational_degrees_of_freedom": {
+                "category": LoggerCategories.scalar
+            },
+        },
+    )
+    logging_check(
+        az.pair.PerturbedLennardJones,
+        {
+            "energy": {"category": LoggerCategories.scalar, "default": True},
+            "forces": {"category": LoggerCategories.particle, "default": True},
+            "virials": {"category": LoggerCategories.particle, "default": False},
+        },
+    )
+
+
+def test_logger_add_defaults(simulation_factory, two_particle_snapshot_factory):
+    """Logger.add with no quantity list picks up default-on loggables."""
+    sim = simulation_factory(two_particle_snapshot_factory(d=1.5))
+    sim.operations.integrator = az.md.Integrator(
+        dt=0.0, methods=[az.md.methods.ConstantVolume()]
+    )
+    thermo = az.compute.ThermodynamicQuantities()
+    sim.operations.computes.append(thermo)
+    thermo._attach(sim)
+    sim.run(0)
+    logger = az.write.Logger()
+    logger.add(thermo)
+    labels = logger.labels()
+    assert any("kinetic_temperature" in l for l in labels)
+    assert any("pressure" in l for l in labels)
+    out = logger.sample()
+    assert all(v is not None for v in out.values())
+
+
+def test_pressure_two_particle(simulation_factory, two_particle_snapshot_factory):
+    """Pressure from the virial: two particles at d with known f."""
+    d = 1.1
+    sim = simulation_factory(two_particle_snapshot_factory(d=d, L=20))
+    lj = az.pair.PerturbedLennardJones(
+        nlist=az.md.nlist.Cell(buffer=0.4), default_r_cut=3.0
+    )
+    lj.params[("A", "A")] = dict(
+        epsilon=1.0, sigma=1.0, attraction_scale_factor=1.0
+    )
+    sim.operations.integrator = az.md.Integrator(
+        dt=0.0, methods=[az.md.methods.ConstantVolume()], forces=[lj]
+    )
+    thermo = az.compute.ThermodynamicQuantities()
+    sim.operations.computes.append(thermo)
+    thermo._attach(sim)
+    sim.run(0)
+    # analytic LJ force at d (velocities are zero -> pure virial pressure)
+    sr6 = (1.0 / d) ** 6
+    f = 24.0 * (2.0 * sr6 * sr6 - sr6) / d
+    W = f * d  # sum over pairs of r . F
+    V = 20.0**3
+    numpy.testing.assert_allclose(thermo.pressure, W / (3 * V), rtol=1e-4)
+    pt = thermo.pressure_tensor
+    numpy.testing.assert_allclose(pt[0], f * d / V, rtol=1e-4)  # P_xx
+    numpy.testing.assert_allclose(pt[3], 0.0, atol=1e-7)
+
+
+def test_dof_accounting(simulation_factory, two_particle_snapshot_factory):
+    """NVE whole-system: 3N-3; Langevin thermostat: 3N (no COM mode)."""
+    sim = simulation_factory(two_particle_snapshot_factory())
+    sim.operations.integrator = az.md.Integrator(
+        dt=0.0, methods=[az.md.methods.ConstantVolume()]
+    )
+    thermo = az.compute.ThermodynamicQuantities()
+    sim.operations.computes.append(thermo)
+    thermo._attach(sim)
+    sim.run(0)
+    assert thermo.translational_degrees_of_freedom == 3.0
+
+    sim2 = simulation_factory(two_particle_snapshot_factory())
+    sim2.operations.integrator = az.md.Integrator(
+        dt=0.0, methods=[az.md.methods.Langevin(kT=1.0)]
+    )
+    thermo2 = az.compute.ThermodynamicQuantities()
+    sim2.operations.computes.append(thermo2)
+    thermo2._attach(sim2)
+    sim2.run(0)
+    assert thermo2.translational_degrees_of_freedom == 6.0
