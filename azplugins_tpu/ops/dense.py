@@ -183,36 +183,53 @@ def _cell_id(x, y, z, box: Box, dims):
     return (cx * dims[1] + cy) * dims[2] + cz
 
 
-# Core payload columns every rebin must carry. Optional columns ("quat",
-# "charge", "diameter", "mass") are included only when the simulation uses
-# them (host-side check at attach); dropped columns are reconstructed from
-# defaults at undensify. net_force is never carried: integrators maintain
-# acceleration = net_force / mass, so it is rebuilt exactly.
-_CORE_FIELDS = (
-    "x", "y", "z", "vx", "vy", "vz", "ax", "ay", "az",
-    "typeid", "tag", "ix", "iy", "iz",
-)
-_OPT_FIELDS = {
-    "mass": ("mass",),
-    "quat": ("qw", "qx", "qy", "qz"),
-    "charge": ("charge",),
-    "diameter": ("diameter",),
-    # rotational dynamics payload: angular momentum quaternion, body-frame
-    # moments of inertia, and the stored net torque (the rotational analog
-    # of acceleration: step1's angmom kick uses last step's torques)
-    "rotation": ("pw", "px", "py", "pz", "Ix", "Iy", "Iz", "tqx", "tqy", "tqz"),
-}
+# The rebin payload is a list of (name, width) BLOCKS, each a contiguous
+# State array ([n, w] with w in 1..4). Packing the payload is then one
+# lane concatenation of whole arrays and unpacking is static lane slices —
+# no per-column stacking and no [S, K] <-> [K, S] transposes, which
+# dominated the rebuild cost when the payload moved as 14+ separate [S]
+# columns (measured 1.5 ms of a 3.1 ms rebuild at 64k).
+#
+# Optional blocks ("mass", "quat", ...) are included only when the
+# simulation uses them (host-side check at attach); dropped columns are
+# reconstructed from defaults at undensify. net_force is never carried:
+# integrators maintain acceleration = net_force / mass, so it is rebuilt
+# exactly. "rotation" carries the angular momentum quaternion, body-frame
+# moments of inertia, and the stored net torque (the rotational analog of
+# acceleration: step1's angmom kick uses last step's torques).
 ALL_FIELDS = ("mass", "quat", "charge", "diameter", "rotation")
 
+# per-field block layout: (state attribute, width, default fill value)
+_OPT_BLOCKS = {
+    "mass": (("mass", 1, 1.0),),
+    "quat": (("orientation", 4, (1.0, 0.0, 0.0, 0.0)),),
+    "charge": (("charge", 1, 0.0),),
+    "diameter": (("diameter", 1, 1.0),),
+    "rotation": (
+        ("angmom", 4, 0.0),
+        ("moment_inertia", 3, 0.0),
+        ("net_torque", 3, 0.0),
+    ),
+}
+_CORE_BLOCKS = (
+    ("position", 3, 0.0),
+    ("velocity", 3, 0.0),
+    ("acceleration", 3, 0.0),
+    ("typeid", 1, -1),
+    ("tag", 1, -1),
+    ("image", 3, 0),
+)
+_INT_BLOCKS = frozenset({"typeid", "tag", "image"})
 
-def _payload_names(fields: tuple) -> tuple:
-    names = list(_CORE_FIELDS)
+
+def _payload_layout(fields: tuple) -> tuple:
+    blocks = list(_CORE_BLOCKS)
     for f in fields:
-        names.extend(_OPT_FIELDS[f])
-    return tuple(names)
+        blocks.extend(_OPT_BLOCKS[f])
+    return tuple(blocks)
 
 
-# Payload columns travel through the rebin sort/gather/scatter as int32,
+# Payload blocks travel through the rebin sort/gather/scatter as int32,
 # with FLOATS bitcast to int32 — never the other way around. An int32
 # bitcast to f32 can be a NaN bit pattern (tag/typeid -1 = 0xFFFFFFFF is
 # a quiet NaN), and XLA backends may canonicalize such NaNs to 0x7FC00000
@@ -220,54 +237,30 @@ def _payload_names(fields: tuple) -> tuple:
 # "real" particles with tag 2143289344 and wrapped their far sentinels
 # into the box at the next rebuild. Int32 movement is bit-exact on every
 # backend.
-_INT_FIELDS = frozenset({"typeid", "tag", "ix", "iy", "iz"})
+def _pack_payload(state: State, layout: tuple):
+    """State -> [n, K] int32 via one lane concatenation of whole blocks."""
+    parts = []
+    for name, w, _ in layout:
+        a = getattr(state, name)
+        if a.ndim == 1:
+            a = a[:, None]
+        if name not in _INT_BLOCKS:
+            a = a.view(jnp.int32)
+        parts.append(a)
+    return jnp.concatenate(parts, axis=1)
 
 
-def _as_payload_int(name: str, col):
-    return col if name in _INT_FIELDS else col.view(jnp.int32)
-
-
-def _from_payload_int(name: str, col):
-    return col if name in _INT_FIELDS else col.view(jnp.float32)
-
-
-def _per_particle_payload(state: State, fields: tuple):
-    """Per-particle arrays as named columns in their native dtypes."""
-    cols = {
-        "x": state.position[:, 0],
-        "y": state.position[:, 1],
-        "z": state.position[:, 2],
-        "vx": state.velocity[:, 0],
-        "vy": state.velocity[:, 1],
-        "vz": state.velocity[:, 2],
-        "ax": state.acceleration[:, 0],
-        "ay": state.acceleration[:, 1],
-        "az": state.acceleration[:, 2],
-        "ix": state.image[:, 0],
-        "iy": state.image[:, 1],
-        "iz": state.image[:, 2],
-        "typeid": state.typeid,
-        "tag": state.tag,
-    }
-    if "mass" in fields:
-        cols["mass"] = state.mass
-    if "quat" in fields:
-        cols["qw"] = state.orientation[:, 0]
-        cols["qx"] = state.orientation[:, 1]
-        cols["qy"] = state.orientation[:, 2]
-        cols["qz"] = state.orientation[:, 3]
-    if "charge" in fields:
-        cols["charge"] = state.charge
-    if "diameter" in fields:
-        cols["diameter"] = state.diameter
-    if "rotation" in fields:
-        for k, name in enumerate(("pw", "px", "py", "pz")):
-            cols[name] = state.angmom[:, k]
-        for k, name in enumerate(("Ix", "Iy", "Iz")):
-            cols[name] = state.moment_inertia[:, k]
-        for k, name in enumerate(("tqx", "tqy", "tqz")):
-            cols[name] = state.net_torque[:, k]
-    return cols
+def _payload_default_row(layout: tuple):
+    """[1, K] int32 default row for empty slots (x sentinel spliced later)."""
+    vals = []
+    for name, w, fill in layout:
+        fills = fill if isinstance(fill, tuple) else (fill,) * w
+        for v in fills:
+            if name in _INT_BLOCKS:
+                vals.append(np.int32(v))
+            else:
+                vals.append(np.float32(v).view(np.int32))
+    return jnp.asarray(np.asarray(vals, dtype=np.int32)[None, :])
 
 
 def _sentinel_x(S, box: Box, spec: "GridSpec"):
@@ -285,64 +278,39 @@ def _sentinel_x(S, box: Box, spec: "GridSpec"):
     return Lx + (jnp.arange(S, dtype=jnp.float32) + 1.0) * stride
 
 
-def _payload_defaults(S, box: Box, spec, names: tuple):
-    """Empty-slot defaults in native dtypes."""
-    z = jnp.zeros((S,), jnp.float32)
-    neg1 = jnp.full((S,), -1, jnp.int32)
-    izero = jnp.zeros((S,), jnp.int32)
-    one = jnp.ones((S,), jnp.float32)
-    d = {}
-    for k in names:
-        if k == "x":
-            d[k] = _sentinel_x(S, box, spec) if spec is not None else z
-        elif k in ("typeid", "tag"):
-            d[k] = neg1
-        elif k in ("ix", "iy", "iz"):
-            d[k] = izero
-        elif k in ("mass", "diameter", "qw"):
-            d[k] = one
-        else:
-            d[k] = z
-    return d
-
-
-def _state_from_payload(cols: dict, template: State, box: Box, fields: tuple) -> State:
-    def f(*names):
-        return jnp.stack([cols[n] for n in names], axis=-1)
-
-    S = cols["x"].shape[0]
-    if "mass" in fields:
-        mass = cols["mass"]
-    else:
+def _state_from_payload(out, layout: tuple, template: State, box: Box) -> State:
+    """[S, K] int32 payload -> State via static lane slices (no restacking)."""
+    S = out.shape[0]
+    arrs = {}
+    off = 0
+    for name, w, _ in layout:
+        a = out[:, off : off + w]
+        if name not in _INT_BLOCKS:
+            a = a.view(jnp.float32)
+        arrs[name] = a[:, 0] if w == 1 else a
+        off += w
+    mass = arrs.get("mass", None)
+    if mass is None:
         mass = jnp.ones((S,), jnp.float32)
-    accel = f("ax", "ay", "az")
-    if "rotation" in fields:
-        angmom = f("pw", "px", "py", "pz")
-        inertia = f("Ix", "Iy", "Iz")
-        torque = f("tqx", "tqy", "tqz")
-    else:
-        angmom = jnp.zeros((S, 4), jnp.float32)
-        inertia = jnp.zeros((S, 3), jnp.float32)
-        torque = jnp.zeros((S, 3), jnp.float32)
+    accel = arrs["acceleration"]
     return State(
-        position=f("x", "y", "z"),
-        tag=cols["tag"],
-        velocity=f("vx", "vy", "vz"),
-        typeid=cols["typeid"],
-        image=jnp.stack([cols["ix"], cols["iy"], cols["iz"]], axis=-1),
-        orientation=(
-            f("qw", "qx", "qy", "qz")
-            if "quat" in fields
-            else jnp.tile(jnp.array([1.0, 0, 0, 0], jnp.float32), (S, 1))
+        position=arrs["position"],
+        tag=arrs["tag"],
+        velocity=arrs["velocity"],
+        typeid=arrs["typeid"],
+        image=arrs["image"],
+        orientation=arrs.get(
+            "orientation",
+            jnp.tile(jnp.array([1.0, 0, 0, 0], jnp.float32), (S, 1)),
         ),
         mass=mass,
-        diameter=cols["diameter"] if "diameter" in fields else jnp.ones((S,), jnp.float32),
-        charge=cols["charge"] if "charge" in fields else jnp.zeros((S,), jnp.float32),
+        diameter=arrs.get("diameter", jnp.ones((S,), jnp.float32)),
+        charge=arrs.get("charge", jnp.zeros((S,), jnp.float32)),
         net_force=accel * mass[:, None],
         acceleration=accel,
-        angmom=angmom,
-        moment_inertia=inertia,
-        net_torque=torque,
+        angmom=arrs.get("angmom", jnp.zeros((S, 4), jnp.float32)),
+        moment_inertia=arrs.get("moment_inertia", jnp.zeros((S, 3), jnp.float32)),
+        net_torque=arrs.get("net_torque", jnp.zeros((S, 3), jnp.float32)),
         bond_typeid=template.bond_typeid,
         bond_group=template.bond_group,
         box=box,
@@ -380,8 +348,7 @@ def _bin_to_slots(
     )
     cid = jnp.where(valid, cid, C)
 
-    names = _payload_names(fields)
-    cols = _per_particle_payload(state, fields)
+    layout = _payload_layout(fields)
     # Sort, then one contiguous row-gather of the packed payload: TPU sort
     # compile time scales superlinearly in operand count (measured: 2
     # operands ~15s, 26 operands >10min at 128k), while a row-major gather
@@ -401,9 +368,7 @@ def _bin_to_slots(
         perm = key_s & jnp.int32((1 << idx_bits) - 1)
     else:
         cid_s, perm = jax.lax.sort([cid, idx], num_keys=1, is_stable=True)
-    packed_in = jnp.stack(
-        [_as_payload_int(k, cols[k]) for k in names], axis=-1
-    )  # [n, K] int32 (floats bitcast; see _INT_FIELDS note)
+    packed_in = _pack_payload(state, layout)  # [n, K] int32 (floats bitcast)
     packed_sorted = jnp.take(packed_in, perm, axis=0)
 
     # per-cell start offsets in the sorted order (few queries -> the
@@ -419,27 +384,20 @@ def _bin_to_slots(
     valid_slot = rank_b < jnp.minimum(counts, cap)[:, None]
     src = jnp.where(valid_slot, src, n).reshape(S)  # n = default row
 
-    default_row = jnp.stack(
-        [
-            _as_payload_int(k, v)
-            for k, v in _payload_defaults(1, state.box, None, names).items()
-        ],
-        axis=-1,
-    )  # [1, K]
+    default_row = _payload_default_row(layout)
     packed_pad = jnp.concatenate([packed_sorted, default_row], axis=0)
     out = jnp.take(packed_pad, src, axis=0)  # [S, K] row gather
 
-    # unpack via one transpose: column slices of [S, K] are lane-strided
-    # on TPU (K << 128 lanes), a [K, S] transpose then row reads are not
-    out_t = out.T
-    new_cols = {k: _from_payload_int(k, out_t[i]) for i, k in enumerate(names)}
     # empty-slot x sentinels are per-slot values (the single default row
-    # cannot carry them); splice them into the x column here
-    new_cols["x"] = jnp.where(
-        valid_slot.reshape(S), new_cols["x"], _sentinel_x(S, state.box, spec)
+    # cannot carry them); splice them into the x column (payload column 0)
+    x = jnp.where(
+        valid_slot.reshape(S),
+        out[:, 0].view(jnp.float32),
+        _sentinel_x(S, state.box, spec),
     )
+    out = jnp.concatenate([x.view(jnp.int32)[:, None], out[:, 1:]], axis=1)
 
-    dense = _state_from_payload(new_cols, state, state.box, fields)
+    dense = _state_from_payload(out, layout, state, state.box)
     if need_slot_of:
         # tag -> slot map (scatter; empty tags dropped via clipped index);
         # only bond forces consume this — skipped entirely otherwise
@@ -483,18 +441,13 @@ def undensify(dense: State, N: int, fields: tuple = ALL_FIELDS) -> State:
     """
     pos_w, image_w = dense.box.wrap(dense.position, dense.image)
     dense = dense.replace(position=pos_w, image=image_w)
-    names = _payload_names(fields)
-    cols = _per_particle_payload(dense, fields)
-    packed = jnp.stack(
-        [_as_payload_int(k, cols[k]) for k in names], axis=-1
-    )  # [S, K] int32
+    layout = _payload_layout(fields)
+    packed = _pack_payload(dense, layout)  # [S, K] int32
     dest = jnp.where(dense.tag >= 0, dense.tag, N)
     out = jnp.zeros((N + 1, packed.shape[1]), jnp.int32).at[dest].set(
         packed, mode="drop"
     )[:N]
-    new_cols = {k: _from_payload_int(k, out[:, i]) for i, k in enumerate(names)}
-    state = _state_from_payload(new_cols, dense, dense.box, fields)
-    return state
+    return _state_from_payload(out, layout, dense, dense.box)
 
 
 def needs_rebin(dense: State, meta: GridMeta, spec: GridSpec):
@@ -980,12 +933,16 @@ def dense_pair_force(
     return _finish_pair(total, spec.S)
 
 
-def _stencil_rows_t(comp_t, spec: GridSpec, offsets, axis_shifts):
-    """Cell-minor stencil rows: [cap, C] component -> [n_seg*cap, C].
+def _stencil_rows_t(comp_t, spec: GridSpec, offsets, axis_shifts,
+                    cap_pad: int | None = None, fill: float = 0.0):
+    """Cell-minor stencil rows: [cap, C] component -> [n_seg*cap_pad, C].
 
     Row blocks: the self cell first, then each half-stencil offset's
     occupants, pre-shifted via the halo pad. Built natively in the
     kernel's cell-minor layout so no per-offset transposes are needed.
+    When ``cap_pad > cap`` each block is padded to cap_pad rows with
+    ``fill`` (far sentinel for x, 0 elsewhere) so the kernel's j-subtiles
+    tile every offset block evenly; padded rows interact with nothing.
     """
     cap = spec.cap
     Dx, Dy, Dz = spec.dims
@@ -1000,7 +957,32 @@ def _stencil_rows_t(comp_t, spec: GridSpec, offsets, axis_shifts):
             g, (0, o0, o1, o2), (cap, o0 + Dx, o1 + Dy, o2 + Dz)
         )
         blocks.append(b.reshape(cap, spec.n_cells))
+    if cap_pad is not None and cap_pad != cap:
+        pad = jnp.full((cap_pad - cap, spec.n_cells), fill, comp_t.dtype)
+        blocks = [jnp.concatenate([b, pad], axis=0) for b in blocks]
     return jnp.concatenate(blocks, axis=0)
+
+
+def _cell_counts(dense: State, spec: GridSpec):
+    """[C] int32 occupancy per cell (slots fill front-to-back at rebin)."""
+    return jnp.sum(
+        (dense.tag >= 0).reshape(spec.n_cells, spec.cap),
+        axis=1, dtype=jnp.int32,
+    )
+
+
+def _stencil_counts(counts, spec: GridSpec, offsets):
+    """[1 + n_offsets, C] occupancy of each stencil offset's neighbor cell."""
+    Dx, Dy, Dz = spec.dims
+    g = counts.reshape(Dx, Dy, Dz)
+    for ax in range(3):
+        g = _halo_pad(g, ax, None)
+    blocks = [counts]
+    for o in offsets:
+        o0, o1, o2 = int(o[0]) + 1, int(o[1]) + 1, int(o[2]) + 1
+        b = jax.lax.slice(g, (o0, o1, o2), (o0 + Dx, o1 + Dy, o2 + Dz))
+        blocks.append(b.reshape(spec.n_cells))
+    return jnp.stack(blocks, axis=0)
 
 
 def _roll_cells_t(a, spec: GridSpec, shift):
@@ -1033,29 +1015,45 @@ def _pallas_half_pair_force(
     C, cap = spec.n_cells, spec.cap
     offsets = spec.half_stencil()
     n_seg = len(offsets) + 1
+    cap_pad = PP.pad_cap(cap)
     keys = sorted(tables)
     rcutsq = (r_cut_table * r_cut_table).reshape(())
     scalars = [tables[k].reshape(()) for k in keys] + [rcutsq]
 
-    def f_divr(rsq, svals):
-        p = dict(zip(keys, svals))
-        rcs = svals[-1]
-        _, f = energy_force_fn(rsq, rcs, p)
-        return jnp.where(rsq < rcs, f, 0.0)
+    fast = getattr(energy_force_fn, "pallas_force_divr", None)
+    if fast is not None:
+        recip = (lambda x: 1.0 / x) if interpret else PP.approx_recip
+
+        def f_divr(rsq, svals):
+            p = dict(zip(keys, svals))
+            rcs = svals[-1]
+            return jnp.where(rsq < rcs, fast(rsq, p, recip), 0.0)
+    else:
+
+        def f_divr(rsq, svals):
+            p = dict(zip(keys, svals))
+            rcs = svals[-1]
+            _, f = energy_force_fn(rsq, rcs, p)
+            return jnp.where(rsq < rcs, f, 0.0)
 
     shifts = _axis_shift_tables(dense.box) if jb.preshifted else (None,) * 3
     its = [dense.position[:, k].reshape(C, cap).T for k in range(3)]
+    fills = (-PP._SENTINEL, 0.0, 0.0)
     jts = [
-        _stencil_rows_t(c, spec, offsets, s) for c, s in zip(its, shifts)
+        _stencil_rows_t(c, spec, offsets, s, cap_pad=cap_pad, fill=f)
+        for c, s, f in zip(its, shifts, fills)
     ]
+    counts = _cell_counts(dense, spec)
+    stc = _stencil_counts(counts, spec, offsets)
     fi, fj = PP.stencil_pair_force_kernel(
-        f_divr, scalars, *its, *jts, interpret=interpret
+        f_divr, scalars, *its, *jts, counts, stc,
+        cap_pad=cap_pad, interpret=interpret,
     )
 
     Dx, Dy, Dz = spec.dims
     force = []
     for k3 in range(3):
-        g = fj[k3].reshape(n_seg, cap, Dx, Dy, Dz)
+        g = fj[k3].reshape(n_seg, cap_pad, Dx, Dy, Dz)[:, :cap]
         acc = g[0]  # self cell: already in its true cell
         for k, o in enumerate(offsets):
             acc = acc + _roll_cells_t(g[k + 1], spec, o)

@@ -75,6 +75,23 @@ def perturbed_lennard_jones(rsq, rcutsq, p):
     return jnp.where(active, e, 0.0), jnp.where(active, f, 0.0)
 
 
+def _plj_pallas_force_divr(rsq, p, recip):
+    """Force/r only, with a caller-supplied reciprocal (Pallas fast path).
+
+    Same algebra as :func:`perturbed_lennard_jones`'s force branch; the
+    exact f32 divide (the single most expensive VPU op in the kernel) is
+    replaced by the hardware approximate reciprocal + one Newton step.
+    """
+    r2inv = recip(rsq)
+    r6inv = r2inv * r2inv * r2inv
+    f = r2inv * r6inv * (12.0 * p["lj1"] * r6inv - 6.0 * p["lj2"])
+    f = jnp.where(rsq < p["rwcasq"], f, f * p["lam"])
+    return jnp.where(p["lj1"] != 0, f, 0.0)
+
+
+perturbed_lennard_jones.pallas_force_divr = _plj_pallas_force_divr
+
+
 # ---------------------------------------------------------------------------
 # Colloid: integrated LJ (Hamaker); three regimes selected by radii.
 # ---------------------------------------------------------------------------

@@ -12,7 +12,7 @@ Layout is chosen for the VPU's (8 sublanes, 128 lanes) tiles:
     zero padding waste (C is padded to a multiple of the 128-lane block
     once, with far-sentinel cells that interact with nothing);
   * the kernel loops over i-slots; each iteration evaluates one i-row
-    against a ``[J_seg, CB]`` j-block — perfectly regular tiles, no
+    against a ``[H, CB]`` j-subtile — perfectly regular tiles, no
     gathers, no masks except the cutoff compare (empty slots sit at far
     sentinel coordinates) and the self-cell triangle (Newton: each
     unordered pair evaluated once);
@@ -20,12 +20,22 @@ Layout is chosen for the VPU's (8 sublanes, 128 lanes) tiles:
     working set fits VMEM for any cell capacity; the i-side output block
     is revisited across segments and accumulated in place.
 
-The J axis is the flattened half stencil: rows [0, cap) are the self
-cell (strict upper triangle), rows [k*cap, (k+1)*cap) the k-th positive
-offset's cells, pre-shifted by the periodic lattice vector (dense.py
-``_axis_shift_tables``), so ``xi - jx`` is the true separation with no
-minimum-image math (reference force loop: HOOMD PotentialPair evaluator
-protocol, see /root/reference/src/PairEvaluator.h:67-140).
+The J axis is the flattened half stencil: each offset's cells occupy a
+``cap_pad``-row block (cap rounded up to the subtile height, tail rows at
+far sentinels) — block 0 the self cell (strict upper triangle), block k
+the k-th positive offset's cells, pre-shifted by the periodic lattice
+vector (dense.py ``_axis_shift_tables``), so ``xi - jx`` is the true
+separation with no minimum-image math (reference force loop: HOOMD
+PotentialPair evaluator protocol, see
+/root/reference/src/PairEvaluator.h:67-140).
+
+Work skipping rides the cell-occupancy structure: slots fill
+front-to-back within each cell (the rebin gather), so per 128-cell lane
+block the i-row loop runs only to the block's max occupancy, and a
+j-subtile whose rows all exceed its offset's max neighbor occupancy is
+skipped outright (its output rows are written as zeros). Both bounds come
+from per-block SMEM scalars computed from the current cell counts —
+measured ~(48/56)^2 = 0.73x of the evaluations at the 64k bench shapes.
 
 The j-side partial sums come back in the rolled frame ``[J, C]``; the
 caller un-rolls them with the inverse stencil slices (cheap XLA copies).
@@ -42,14 +52,13 @@ import numpy as np
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-__all__ = ["stencil_pair_force_kernel", "has_tpu", "pallas_mode"]
+__all__ = ["stencil_pair_force_kernel", "has_tpu", "pallas_mode", "approx_recip"]
 
 _SENTINEL = 1.0e18
 # j-subtile height of the pair microkernel (rows per register-resident
 # tile). 16 measured ~35% faster than 8 at 64k (fewer per-subtile i-row
-# reduce/RMW issues); 32 regressed (register spill). Falls back to 8 when
-# the J segment is not a multiple (see _kernel).
-_SUBTILE_H = int(__import__("os").environ.get("AZTPU_SUBTILE_H", "16"))
+# reduce/RMW issues); 32 regressed (register spill).
+_SUBTILE_H = int(os.environ.get("AZTPU_SUBTILE_H", "16"))
 # scoped VMEM budget for choosing the J-segment size (the hardware limit
 # is 16M; leave headroom for Mosaic's own temporaries)
 _VMEM_BUDGET = 10 * 1024 * 1024
@@ -66,6 +75,13 @@ def approx_recip(x):
     """
     r0 = pl.reciprocal(x, approx=True)
     return r0 * (2.0 - x * r0)
+
+
+def pad_cap(cap: int) -> int:
+    """Row count of each per-offset J block: cap rounded up to the subtile
+    height (tail rows sit at far sentinels and are skipped by j_bound)."""
+    h = _SUBTILE_H if _SUBTILE_H % 8 == 0 else 8
+    return ((cap + h - 1) // h) * h
 
 
 @functools.cache
@@ -89,24 +105,35 @@ def pallas_mode() -> str | None:
     return None
 
 
-def _kernel(eval_f_divr, cap, Jseg, CB, n_sc, sc_ref,
-            xi_ref, yi_ref, zi_ref, jx_ref, jy_ref, jz_ref,
-            fxi_ref, fyi_ref, fzi_ref, fxj_ref, fyj_ref, fzj_ref,
-            sxi_ref, syi_ref, szi_ref):
-    """j-subtile-outer / i-row-inner pair microkernel.
+def _kernel(eval_f_divr, svals_const, cap, cap_pad, Jseg, CB, H, n_sc,
+            *refs):
+    """j-subtile-outer / i-group-inner pair microkernel.
 
     The v2 formulation (whole [Jseg, CB] j-block per i-row) re-read the
     three j planes and read-modified-wrote the three j accumulators from
     VMEM on every one of the `cap` i-rows -- ~45 bytes of VMEM traffic
     per pair, measured bandwidth-bound at ~1.35 TB/s with the arithmetic
     mostly idle (a trivial evaluator ran only 19% faster than the full
-    one). Here the outer loop walks (8, CB) j-subtiles: the j coordinates
+    one). Here the outer loop walks (H, CB) j-subtiles: the j coordinates
     and the Newton j-side accumulators live in vector registers across
-    the fully unrolled i-row loop, leaving ~2 bytes/pair of VMEM traffic
-    (the i-row partial-sum updates), which puts the VPU arithmetic back
-    in charge.
+    the i-row loop, leaving ~2 bytes/pair of VMEM traffic (the i-row
+    partial-sum updates), which puts the VPU arithmetic back in charge.
+
+    ``svals_const``: potential parameters as Python floats (folded into
+    the trace — the production path, parameters are jit-time constants)
+    or None (parameters stream through an SMEM ref, first in ``refs``).
     """
-    svals = [sc_ref[k, 0] for k in range(n_sc)]
+    if svals_const is None:
+        sc_ref, refs = refs[0], refs[1:]
+        svals = [sc_ref[k, 0] for k in range(n_sc)]
+    else:
+        svals = list(svals_const)
+    (ib_ref, jb_ref,
+     xi_ref, yi_ref, zi_ref, jx_ref, jy_ref, jz_ref,
+     fxi_ref, fyi_ref, fzi_ref, fxj_ref, fyj_ref, fzj_ref,
+     sxi_ref, syi_ref, szi_ref) = refs
+
+    iblk = pl.program_id(0)
     kseg = pl.program_id(1)
 
     # i-side partial accumulators for this (block, segment)
@@ -114,73 +141,100 @@ def _kernel(eval_f_divr, cap, Jseg, CB, n_sc, sc_ref,
     syi_ref[:] = jnp.zeros((cap, CB), jnp.float32)
     szi_ref[:] = jnp.zeros((cap, CB), jnp.float32)
 
-    xi = xi_ref[:]
-    yi = yi_ref[:]
-    zi = zi_ref[:]
+    # i-row groups of 8 up to this block's max occupancy (rows beyond it
+    # are empty in every lane-cell of the block)
+    ib = ib_ref[iblk, 0]
+    n_igroups = jnp.minimum((ib + 7) // 8, (cap + 7) // 8)
 
-    H = _SUBTILE_H if (Jseg % _SUBTILE_H == 0) else 8
-    if Jseg % H != 0:
-        # flooring NT here would silently skip the tail j-rows (missed
-        # pair forces) and leave their output rows uninitialized; callers
-        # must guarantee cap (and hence Jseg, a multiple of cap) is a
-        # multiple of 8 or take the XLA path
-        raise ValueError(
-            f"pallas pair kernel needs Jseg divisible by the subtile "
-            f"height (Jseg={Jseg}, H={H}); use a cell capacity that is a "
-            f"multiple of 8"
-        )
     NT = Jseg // H
 
     def make_jt_body(with_tri):
         def jt_body(jt, _):
             j0 = pl.multiple_of(jt * H, H)
-            jx_t = jx_ref[pl.ds(j0, H), :]
-            jy_t = jy_ref[pl.ds(j0, H), :]
-            jz_t = jz_ref[pl.ds(j0, H), :]
-            if with_tri:
-                # self-cell rows (global J row < cap): Newton strict
-                # upper triangle via one compare folded into rsq. Rows of
-                # this subtile past the self cell (jrow >= cap) are never
-                # masked automatically: i indices s < cap <= jrow
-                jrow = j0 + jax.lax.broadcasted_iota(
-                    jnp.int32, (H, CB), 0
-                )
-            fjx = jnp.zeros((H, CB), jnp.float32)
-            fjy = jnp.zeros((H, CB), jnp.float32)
-            fjz = jnp.zeros((H, CB), jnp.float32)
-            for s in range(cap):
-                dx = xi[s, :][None, :] - jx_t
-                dy = yi[s, :][None, :] - jy_t
-                dz = zi[s, :][None, :] - jz_t
-                rsq = dx * dx + dy * dy + dz * dz
+            j0g = kseg * Jseg + j0  # global J row
+            off = j0g // cap_pad  # stencil offset of this subtile
+            r0 = j0g - off * cap_pad  # row within the offset block
+            jbound = jb_ref[iblk, off]
+
+            @pl.when(r0 < jbound)
+            def _eval():
+                jx_t = jx_ref[pl.ds(j0, H), :]
+                jy_t = jy_ref[pl.ds(j0, H), :]
+                jz_t = jz_ref[pl.ds(j0, H), :]
                 if with_tri:
-                    rsq = jnp.where(jrow > s, rsq, jnp.float32(1.0e30))
-                f = eval_f_divr(rsq, svals)
-                fx = f * dx
-                fy = f * dy
-                fz = f * dz
-                fjx = fjx - fx
-                fjy = fjy - fy
-                fjz = fjz - fz
-                sxi_ref[s, :] += jnp.sum(fx, axis=0)
-                syi_ref[s, :] += jnp.sum(fy, axis=0)
-                szi_ref[s, :] += jnp.sum(fz, axis=0)
-            fxj_ref[pl.ds(j0, H), :] = fjx
-            fyj_ref[pl.ds(j0, H), :] = fjy
-            fzj_ref[pl.ds(j0, H), :] = fjz
+                    # self-cell rows: Newton strict upper triangle via one
+                    # compare folded into rsq (rows of this subtile past
+                    # the self block are sentinels, masked by distance)
+                    jrow = r0 + jax.lax.broadcasted_iota(
+                        jnp.int32, (H, CB), 0
+                    )
+
+                def i_group(g, carry):
+                    fjx, fjy, fjz = carry
+                    i0 = pl.multiple_of(g * 8, 8)
+                    xg = xi_ref[pl.ds(i0, 8), :]
+                    yg = yi_ref[pl.ds(i0, 8), :]
+                    zg = zi_ref[pl.ds(i0, 8), :]
+                    sxg = jnp.zeros((8, CB), jnp.float32)
+                    syg = jnp.zeros((8, CB), jnp.float32)
+                    szg = jnp.zeros((8, CB), jnp.float32)
+                    for s in range(8):
+                        dx = xg[s, :][None, :] - jx_t
+                        dy = yg[s, :][None, :] - jy_t
+                        dz = zg[s, :][None, :] - jz_t
+                        rsq = dx * dx + dy * dy + dz * dz
+                        if with_tri:
+                            rsq = jnp.where(
+                                jrow > i0 + s, rsq, jnp.float32(1.0e30)
+                            )
+                        f = eval_f_divr(rsq, svals)
+                        fx = f * dx
+                        fy = f * dy
+                        fz = f * dz
+                        fjx = fjx - fx
+                        fjy = fjy - fy
+                        fjz = fjz - fz
+                        one = (
+                            jax.lax.broadcasted_iota(jnp.int32, (8, CB), 0)
+                            == s
+                        )
+                        sxg = sxg + jnp.where(one, jnp.sum(fx, axis=0), 0.0)
+                        syg = syg + jnp.where(one, jnp.sum(fy, axis=0), 0.0)
+                        szg = szg + jnp.where(one, jnp.sum(fz, axis=0), 0.0)
+                    sxi_ref[pl.ds(i0, 8), :] += sxg
+                    syi_ref[pl.ds(i0, 8), :] += syg
+                    szi_ref[pl.ds(i0, 8), :] += szg
+                    return fjx, fjy, fjz
+
+                z = jnp.zeros((H, CB), jnp.float32)
+                fjx, fjy, fjz = jax.lax.fori_loop(
+                    0, n_igroups, i_group, (z, z, z)
+                )
+                fxj_ref[pl.ds(j0, H), :] = fjx
+                fyj_ref[pl.ds(j0, H), :] = fjy
+                fzj_ref[pl.ds(j0, H), :] = fjz
+
+            @pl.when(r0 >= jbound)
+            def _skip():
+                z = jnp.zeros((H, CB), jnp.float32)
+                fxj_ref[pl.ds(j0, H), :] = z
+                fyj_ref[pl.ds(j0, H), :] = z
+                fzj_ref[pl.ds(j0, H), :] = z
+
             return 0
 
         return jt_body
 
-    # the self cell occupies global J rows [0, cap): the first
-    # ceil(cap/H) subtiles of segment 0 carry the triangle compare, all
-    # others skip it (a partial boundary subtile is safe — see jt_body)
-    n_tri = -(-cap // H)
+    # the self block occupies global J rows [0, cap_pad): only its
+    # subtiles carry the triangle compare (cap_pad rows = one whole
+    # offset block, so subtile boundaries never straddle offsets)
+    n_tri = cap_pad // H
 
     @pl.when(kseg == 0)
     def _():
-        jax.lax.fori_loop(0, n_tri, make_jt_body(True), 0)
-        jax.lax.fori_loop(n_tri, NT, make_jt_body(False), 0)
+        jax.lax.fori_loop(0, min(n_tri, NT), make_jt_body(True), 0)
+        if NT > n_tri:
+            jax.lax.fori_loop(n_tri, NT, make_jt_body(False), 0)
 
     @pl.when(kseg > 0)
     def _():
@@ -201,29 +255,32 @@ def _kernel(eval_f_divr, cap, Jseg, CB, n_sc, sc_ref,
         fzi_ref[:] = fzi_ref[:] + szi_ref[:]
 
 
-def _choose_jseg(J, cap, CB):
-    """Largest J segment (multiple of cap) whose working set fits VMEM.
+def _choose_jseg(J, cap_pad, CB):
+    """Largest J segment (multiple of cap_pad) whose working set fits VMEM.
 
     Per-block VMEM ~ 4*CB*(2*3*(Jseg+cap) double-buffered io + ~8*Jseg
     temporaries + 3*cap scratch).
     """
-    n_seg = J // cap
+    n_seg = J // cap_pad
     for parts in range(1, n_seg + 1):
         if n_seg % parts:
             continue
         jseg = J // parts
-        need = 4 * CB * (6 * (jseg + cap) + 8 * jseg + 3 * cap)
+        need = 4 * CB * (6 * (jseg + cap_pad) + 8 * jseg + 3 * cap_pad)
         if need <= _VMEM_BUDGET:
             return jseg
-    return cap
+    return cap_pad
 
 
 def stencil_pair_force_kernel(
     eval_f_divr,
     scalars,            # sequence of f32 scalars (potential parameters)
     xi_t, yi_t, zi_t,   # [cap, C] f32, cell-minor i coordinates
-    jx_t, jy_t, jz_t,   # [J, C] f32, flattened pre-shifted half stencil
+    jx_t, jy_t, jz_t,   # [J, C] f32, per-offset cap_pad-row pre-shifted blocks
+    counts,             # [C] int32: per-cell occupancy
+    stencil_counts,     # [n_seg, C] int32: occupancy of each offset's neighbor
     *,
+    cap_pad: int,
     cell_block: int = 128,
     interpret: bool = False,
 ):
@@ -232,15 +289,24 @@ def stencil_pair_force_kernel(
     ``eval_f_divr(rsq, svals) -> force/r`` must be a pure elementwise jnp
     function of rsq and the scalar parameter list (cutoff included: it
     must return 0 beyond r_cut — sentinel coordinates give huge rsq, so
-    no validity masks are needed). Parameters arrive through SMEM so the
-    kernel captures no traced constants.
+    no validity masks are needed). Parameters fold into the trace as
+    constants when concrete (the production path: tables are baked into
+    the compiled chunk) and stream through SMEM when traced.
     """
-    sc = jnp.stack(
-        [jnp.asarray(s, jnp.float32).reshape(()) for s in scalars]
-    ).reshape(-1, 1)
-    n_sc = sc.shape[0]
+    svals_const = None
+    try:
+        svals_const = [float(np.asarray(s)) for s in scalars]
+    except Exception:
+        svals_const = None
+
     cap, C = xi_t.shape
     J = jx_t.shape[0]
+    n_seg = J // cap_pad
+    H = _SUBTILE_H if cap_pad % _SUBTILE_H == 0 else 8
+    if cap_pad % H != 0:
+        raise ValueError(
+            f"cap_pad ({cap_pad}) must be a multiple of the subtile height"
+        )
     CB = int(cell_block)
     Cp = ((C + CB - 1) // CB) * CB
     if Cp != C:
@@ -253,10 +319,19 @@ def stencil_pair_force_kernel(
         big = jnp.float32(_SENTINEL)
         xi_t, yi_t, zi_t = padi(xi_t, big), padi(yi_t, 0.0), padi(zi_t, 0.0)
         jx_t, jy_t, jz_t = padi(jx_t, -big), padi(jy_t, 0.0), padi(jz_t, 0.0)
+    n_blocks = Cp // CB
+    # per-lane-block occupancy bounds (padding cells are empty: bound 0)
+    cnt = counts.astype(jnp.int32)
+    sc_cnt = stencil_counts.astype(jnp.int32)
+    if Cp != C:
+        cnt = jnp.pad(cnt, (0, Cp - C))
+        sc_cnt = jnp.pad(sc_cnt, ((0, 0), (0, Cp - C)))
+    ib = cnt.reshape(n_blocks, CB).max(axis=1).reshape(n_blocks, 1)
+    jb = sc_cnt.reshape(n_seg, n_blocks, CB).max(axis=2).T  # [n_blocks, n_seg]
 
-    Jseg = _choose_jseg(J, cap, CB)
+    Jseg = _choose_jseg(J, cap_pad, CB)
     n_jseg = J // Jseg
-    grid = (Cp // CB, n_jseg)
+    grid = (n_blocks, n_jseg)
 
     def ispec():
         return pl.BlockSpec((cap, CB), lambda i, k: (0, i), memory_space=pltpu.VMEM)
@@ -264,12 +339,36 @@ def stencil_pair_force_kernel(
     def jspec():
         return pl.BlockSpec((Jseg, CB), lambda i, k: (k, i), memory_space=pltpu.VMEM)
 
-    kern = functools.partial(_kernel, eval_f_divr, cap, Jseg, CB, n_sc)
-    scspec = pl.BlockSpec((n_sc, 1), lambda i, k: (0, 0), memory_space=pltpu.SMEM)
+    n_sc = len(scalars)
+    kern = functools.partial(
+        _kernel, eval_f_divr, svals_const, cap, cap_pad, Jseg, CB, H, n_sc
+    )
+    in_specs = []
+    inputs = []
+    if svals_const is None:
+        sc = jnp.stack(
+            [jnp.asarray(s, jnp.float32).reshape(()) for s in scalars]
+        ).reshape(-1, 1)
+        in_specs.append(
+            pl.BlockSpec((n_sc, 1), lambda i, k: (0, 0), memory_space=pltpu.SMEM)
+        )
+        inputs.append(sc)
+    # full bounds tables in SMEM (tiny); indexed by program_id in-kernel —
+    # per-block (1, x) SMEM blocks fail the Mosaic block-shape rule
+    in_specs += [
+        pl.BlockSpec((n_blocks, 1), lambda i, k: (0, 0), memory_space=pltpu.SMEM),
+        pl.BlockSpec(
+            (n_blocks, n_seg), lambda i, k: (0, 0), memory_space=pltpu.SMEM
+        ),
+    ]
+    inputs += [ib, jb]
+    in_specs += [ispec()] * 3 + [jspec()] * 3
+    inputs += [xi_t, yi_t, zi_t, jx_t, jy_t, jz_t]
+
     out = pl.pallas_call(
         kern,
         grid=grid,
-        in_specs=[scspec] + [ispec()] * 3 + [jspec()] * 3,
+        in_specs=in_specs,
         out_specs=[ispec()] * 3 + [jspec()] * 3,
         out_shape=(
             [jax.ShapeDtypeStruct((cap, Cp), jnp.float32)] * 3
@@ -277,7 +376,7 @@ def stencil_pair_force_kernel(
         ),
         scratch_shapes=[pltpu.VMEM((cap, CB), jnp.float32)] * 3,
         interpret=interpret,
-    )(sc, xi_t, yi_t, zi_t, jx_t, jy_t, jz_t)
+    )(*inputs)
     fxi, fyi, fzi, fxj, fyj, fzj = out
     if Cp != C:
         fxi, fyi, fzi = fxi[:, :C], fyi[:, :C], fzi[:, :C]

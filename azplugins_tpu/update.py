@@ -133,16 +133,22 @@ class ParticleEvaporator(Updater):
             flip = candidate
         else:
             # deterministic uniform pick without replacement: per-candidate
-            # random priority, keep the N_evap_max smallest.
+            # random priority, keep the N_evap_max smallest. Selection stays
+            # in EXACT integer space: an f32 cast would collide mantissas
+            # above 2^24 candidates and make the pick slightly non-uniform
+            # (reference keeps integer Fisher-Yates picks,
+            # /root/reference/src/ParticleEvaporator.cc:229-259).
             import jax.lax
 
             (bits,) = _rng.particle_bits(
                 _rng.Stream.PARTICLE_EVAPORATOR, seed, timestep, state.tag, n_words=1
             )
             priority = jnp.where(candidate, bits, jnp.uint32(0xFFFFFFFF))
-            # top_k of the complement = k smallest priorities
-            neg = (jnp.uint32(0xFFFFFFFF) - priority).astype(jnp.float32)
-            _, pick_idx = jax.lax.top_k(neg, self._k)
+            # k smallest priorities == top_k of the uint32 complement,
+            # order-preservingly bitcast to int32 (flip the sign bit)
+            inv = jnp.uint32(0xFFFFFFFF) - priority
+            key = (inv ^ jnp.uint32(0x80000000)).view(jnp.int32)
+            _, pick_idx = jax.lax.top_k(key, self._k)
             pick_mask = jnp.zeros((state.N,), dtype=bool).at[pick_idx].set(True)
             flip = jnp.where(n_marked <= self._k, candidate, pick_mask & candidate)
         new_typeid = jnp.where(flip, self._evaporated_id, state.typeid).astype(jnp.int32)

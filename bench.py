@@ -126,8 +126,11 @@ def time_force_kernel(sim, lj, n_lo=20, n_hi=120):
     return best
 
 
-def time_rebin(sim, n_lo=5, n_hi=30):
-    """Differential cost of one neighbor rebuild (rebin sort)."""
+def time_rebin(sim, n_lo=10, n_hi=60, reps=3):
+    """Differential cost of one neighbor rebuild (rebin sort).
+
+    Median over reps: a single differential at ~1 ms/rebuild sits inside
+    the relay's fetch jitter and can even come out negative."""
     import jax
     import jax.numpy as jnp
 
@@ -150,13 +153,17 @@ def time_rebin(sim, n_lo=5, n_hi=30):
         return jax.lax.fori_loop(0, n, body, (dense, meta))
 
     sync_scalar(loop(sim._dense, sim._meta, jnp.int32(n_hi))[0].position)
-    t0 = time.perf_counter()
-    sync_scalar(loop(sim._dense, sim._meta, jnp.int32(n_lo))[0].position)
-    t_lo = time.perf_counter() - t0
-    t0 = time.perf_counter()
-    sync_scalar(loop(sim._dense, sim._meta, jnp.int32(n_hi))[0].position)
-    t_hi = time.perf_counter() - t0
-    return (t_hi - t_lo) / (n_hi - n_lo) * 1e3
+    diffs = []
+    for _ in range(reps):
+        t0 = time.perf_counter()
+        sync_scalar(loop(sim._dense, sim._meta, jnp.int32(n_lo))[0].position)
+        t_lo = time.perf_counter() - t0
+        t0 = time.perf_counter()
+        sync_scalar(loop(sim._dense, sim._meta, jnp.int32(n_hi))[0].position)
+        t_hi = time.perf_counter() - t0
+        diffs.append((t_hi - t_lo) / (n_hi - n_lo) * 1e3)
+    diffs.sort()
+    return diffs[len(diffs) // 2]
 
 
 def _stage(msg):

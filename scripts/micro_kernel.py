@@ -51,14 +51,23 @@ def main():
         return jnp.where(rsq < rcs, f, 0.0)
 
     shifts = D._axis_shift_tables(dense.box)
+    cap_pad = PP.pad_cap(cap)
+    fills = (-PP._SENTINEL, 0.0, 0.0)
     its = [dense.position[:, k].reshape(C, cap).T for k in range(3)]
-    jts = [D._stencil_rows_t(c, spec, offsets, s) for c, s in zip(its, shifts)]
+    jts = [
+        D._stencil_rows_t(c, spec, offsets, s, cap_pad=cap_pad, fill=f)
+        for c, s, f in zip(its, shifts, fills)
+    ]
+    counts = D._cell_counts(dense, spec)
+    stc = D._stencil_counts(counts, spec, offsets)
 
     @jax.jit
     def kernel_only(its, jts):
         def body(i, acc):
             jts2 = [a + 1e-12 * i for a in jts]
-            fi, fj = PP.stencil_pair_force_kernel(f_divr, scalars, *its, *jts2)
+            fi, fj = PP.stencil_pair_force_kernel(
+                f_divr, scalars, *its, *jts2, counts, stc, cap_pad=cap_pad
+            )
             return acc + fi[0][0, 0] + fj[0][0, 0]
 
         return jax.lax.fori_loop(0, iters, body, jnp.float32(0))
@@ -105,7 +114,8 @@ def main():
             def body(i, acc):
                 jts2 = [a + 1e-12 * i for a in jts]
                 fi, fj = PP.stencil_pair_force_kernel(
-                    evalf, scalars, *its, *jts2, cell_block=cb
+                    evalf, scalars, *its, *jts2, counts, stc,
+                    cap_pad=cap_pad, cell_block=cb
                 )
                 return acc + fi[0][0, 0] + fj[0][0, 0]
 

@@ -33,8 +33,9 @@ def main():
     fields = sim._fields
     n = dense.N
     iters = 50
-    print(f"S={spec.S} cap={spec.cap} payload={len(D._payload_names(fields))}",
-          flush=True)
+    layout = D._payload_layout(fields)
+    K = sum(w for _, w, _ in layout)
+    print(f"S={spec.S} cap={spec.cap} payload={K}", flush=True)
 
     @jax.jit
     def full(d, m):
@@ -53,9 +54,7 @@ def main():
 
         return jax.lax.fori_loop(0, iters, body, jnp.int32(0))
 
-    cols = D._per_particle_payload(dense, fields)
-    names = D._payload_names(fields)
-    packed = jnp.stack([D._as_payload_int(k, cols[k]) for k in names], axis=-1)
+    packed = D._pack_payload(dense, layout)
     perm0 = jnp.argsort(dense.tag)
 
     @jax.jit
