@@ -54,24 +54,43 @@ class VelocityCompute(Compute):
 
     def __init__(self, filter: ParticleFilter | None = None, include_mpcd_particles=False):
         super().__init__()
-        if include_mpcd_particles:
-            raise NotImplementedError("MPCD particles are not part of the TPU engine yet")
-        self.filter = filter if filter is not None else All()
+        # filter=None + include_mpcd_particles=True is a valid reference
+        # configuration (MPCD solvent only); both None/False selects nothing
+        self.filter = filter
+        self.include_mpcd_particles = bool(include_mpcd_particles)
         self._mask = None
 
     def _attach(self, sim):
         super()._attach(sim)
+        if self.include_mpcd_particles and sim._mpcd is None:
+            raise ValueError(
+                "include_mpcd_particles=True but the snapshot carried no "
+                "MPCD particles (snapshot.mpcd)"
+            )
         typeids = np.asarray(sim._synced_state().typeid)
-        self._mask = jnp.asarray(self.filter.mask(typeids, sim._particle_types))
+        if self.filter is None:
+            self._mask = jnp.zeros(typeids.shape[0], dtype=bool)
+        else:
+            self._mask = jnp.asarray(self.filter.mask(typeids, sim._particle_types))
 
     @log(category="sequence", requires_run=True)
     def velocity(self):
         """Center-of-mass velocity of the group (loggable, category
         "sequence" — the contract the reference tests at
-        /root/reference/src/pytest/test_compute.py:105-115)."""
+        /root/reference/src/pytest/test_compute.py:105-115). With
+        ``include_mpcd_particles`` the MPCD solvent stream joins the
+        momentum/mass sums (reference VelocityCompute.cc:50-76 via the
+        ParticleDataLoader pair)."""
         self._require_attached("velocity")
         state = self._sim._synced_state()
-        return np.asarray(_group_velocity(state.velocity, state.mass, self._mask))
+        m = jnp.where(self._mask, state.mass, 0.0)
+        mom = jnp.sum(state.velocity * m[:, None], axis=0)
+        mtot = jnp.sum(m)
+        if self.include_mpcd_particles:
+            mpcd = self._sim._mpcd
+            mom = mom + mpcd["mass"] * jnp.sum(mpcd["velocity"], axis=0)
+            mtot = mtot + mpcd["mass"] * mpcd["velocity"].shape[0]
+        return np.asarray(mom / jnp.maximum(mtot, 1e-38))
 
 
 class VelocityFieldCompute(Compute):
@@ -86,8 +105,7 @@ class VelocityFieldCompute(Compute):
     def __init__(self, num_bins, lower_bounds, upper_bounds, filter=None,
                  include_mpcd_particles=False):
         super().__init__()
-        if include_mpcd_particles:
-            raise NotImplementedError("MPCD particles are not part of the TPU engine yet")
+        self.include_mpcd_particles = bool(include_mpcd_particles)
         self.num_bins = tuple(int(b) for b in num_bins)
         self.lower_bounds = tuple(float(b) for b in lower_bounds)
         self.upper_bounds = tuple(float(b) for b in upper_bounds)
@@ -99,6 +117,11 @@ class VelocityFieldCompute(Compute):
 
     def _attach(self, sim):
         super()._attach(sim)
+        if self.include_mpcd_particles and sim._mpcd is None:
+            raise ValueError(
+                "include_mpcd_particles=True but the snapshot carried no "
+                "MPCD particles (snapshot.mpcd)"
+            )
         typeids = np.asarray(sim._synced_state().typeid)
         if self.filter is None:
             self._mask = jnp.zeros(typeids.shape[0], dtype=bool)
@@ -135,13 +158,30 @@ class VelocityFieldCompute(Compute):
             lower = self.lower_bounds
             upper = self.upper_bounds
             coord_fn = type(self)._coord_fn
+            with_mpcd = self.include_mpcd_particles
 
-            def _calc(position, velocity, mass, image, mask, box):
+            def _grids(position, velocity, mass, image, mask, box):
                 pos, _ = box.wrap(position, image)
                 coords, vel = coord_fn(pos, velocity)
-                mass_grid, mom_grid = bin_particles(
+                return bin_particles(
                     coords, vel, mass, mask, num_bins, lower, upper
                 )
+
+            def _calc(position, velocity, mass, image, mask, box,
+                      mpcd_pos=None, mpcd_vel=None, mpcd_mass=None):
+                mass_grid, mom_grid = _grids(
+                    position, velocity, mass, image, mask, box
+                )
+                if with_mpcd:
+                    n_mpcd = mpcd_pos.shape[0]
+                    mg2, pg2 = _grids(
+                        mpcd_pos, mpcd_vel,
+                        jnp.full((n_mpcd,), mpcd_mass, jnp.float32),
+                        jnp.zeros((n_mpcd, 3), jnp.int32),
+                        jnp.ones((n_mpcd,), bool), box,
+                    )
+                    mass_grid = mass_grid + mg2
+                    mom_grid = mom_grid + pg2
                 m_safe = jnp.where(mass_grid > 0, mass_grid, 1.0)
                 return jnp.where(
                     (mass_grid > 0)[:, None], mom_grid / m_safe[:, None], 0.0
@@ -149,12 +189,15 @@ class VelocityFieldCompute(Compute):
 
             # cache the jitted wrapper: jax.jit caches per wrapper object
             self._calc_jit = jax.jit(_calc)
-        v = np.asarray(
-            self._calc_jit(
-                state.position, state.velocity, state.mass, state.image,
-                self._mask, state.box,
-            )
-        )
+        args = [
+            state.position, state.velocity, state.mass, state.image,
+            self._mask, state.box,
+        ]
+        if self.include_mpcd_particles:
+            mpcd = self._sim._mpcd
+            args += [mpcd["position"], mpcd["velocity"],
+                     jnp.float32(mpcd["mass"])]
+        v = np.asarray(self._calc_jit(*args))
         return v.reshape((*self._compact_shape(), 3))
 
 
@@ -323,11 +366,3 @@ class ThermodynamicQuantities(Compute):
             ]
         )
         return (kin + self._virial_sum()) / self.volume
-
-
-@jax.jit
-def _group_velocity(vel, mass, mask):
-    m = jnp.where(mask, mass, 0.0)
-    mom = jnp.sum(vel * m[:, None], axis=0)
-    mtot = jnp.sum(m)
-    return mom / jnp.maximum(mtot, 1e-38)

@@ -10,7 +10,7 @@ from __future__ import annotations
 
 import numpy as np
 
-__all__ = ["Snapshot", "ParticleData", "BondData", "Configuration"]
+__all__ = ["Snapshot", "ParticleData", "BondData", "MPCDData", "Configuration"]
 
 
 class Configuration:
@@ -73,13 +73,48 @@ class BondData:
         self.group = group
 
 
+class MPCDData:
+    """Mesoscale (MPCD) solvent particles: a second particle stream.
+
+    Mirrors the MPCD snapshot block the reference's velocity computes read
+    (/root/reference/src/ParticleDataLoader.h:24-125,
+    /root/reference/src/VelocityFieldCompute.h:331-352). The TPU engine
+    stores and exposes this stream for the computes
+    (``include_mpcd_particles=True``); MPCD streaming/collision dynamics
+    are the host engine's job in the reference (HOOMD's mpcd package) and
+    are likewise not integrated here.
+    """
+
+    def __init__(self, N: int = 0):
+        self.N = 0
+        self.types: list[str] = ["A"]
+        self.mass = 1.0  # one mass for every MPCD particle (HOOMD MPCD)
+        self.resize(N)
+
+    def resize(self, N: int):
+        old = self.N
+        self.N = int(N)
+        position = np.zeros((N, 3), dtype=np.float64)
+        velocity = np.zeros((N, 3), dtype=np.float64)
+        typeid = np.zeros((N,), dtype=np.int32)
+        if old:
+            keep = min(old, N)
+            position[:keep] = self.position[:keep]
+            velocity[:keep] = self.velocity[:keep]
+            typeid[:keep] = self.typeid[:keep]
+        self.position = position
+        self.velocity = velocity
+        self.typeid = typeid
+
+
 class Snapshot:
     """A host-side description of the full system."""
 
-    def __init__(self, N: int = 0, bond_N: int = 0):
+    def __init__(self, N: int = 0, bond_N: int = 0, mpcd_N: int = 0):
         self.configuration = Configuration()
         self.particles = ParticleData(N)
         self.bonds = BondData(bond_N)
+        self.mpcd = MPCDData(mpcd_N)
 
     @property
     def communicator(self):  # parity shim: snapshots are rank-global here

@@ -1079,11 +1079,15 @@ def dense_dpd_force(
 
     Physics identical to ops/pair_force.dpd_pair_force (reference
     DPDPairEvaluatorGeneralWeight.h:198-255); noise keyed on sorted true
-    tags so it is bitwise identical to the neighbor-list driver.
+    tags so it is bitwise identical to the neighbor-list driver and
+    independent of the stencil form. With ``jb.half`` each unordered pair
+    is evaluated ONCE and scattered to both members — Newton's third law
+    holds exactly for the full DPD triple (rdotv, w_R and the sorted-tag
+    noise are all i<->j symmetric), halving the dominant per-pair
+    Threefry cost (SURVEY §7 hard part #3). Virial is conservative-only
+    per the reference (:239).
     """
     from .pair_force import ForceResult
-
-    assert not jb.half, "DPD kernel requires the full stencil"
 
     T = r_cut_table.shape[0]
     v = _i_views(dense, spec)
@@ -1095,12 +1099,10 @@ def dense_dpd_force(
     valid_i = v(dense.tag >= 0) if masked else None
     kT = jnp.float32(kT)
     dt_arr = jnp.float32(dt)
+    n_acc = 3 if want == "force" else 10
 
-    def body(carry, js):
-        dx, dy, dz, rsq, mask = _offset_geometry(
-            dense, spec, xi, yi, zi, valid_i, js, masked, jb.preshifted
-        )
-        t_j = js["typeid"][:, None, :] if need_t else None
+    def eval_dpd(dx, dy, dz, rsq, mask, t_j, tag_j, dvx, dvy, dvz):
+        """(e, f_total/r, f_cons/r, mask) for one pair batch."""
         p = _pair_params(tables, t_i, t_j, T)
         rcut = _pair_params({"r": r_cut_table}, t_i, t_j, T)["r"]
         rcutsq = rcut * rcut
@@ -1114,40 +1116,152 @@ def dense_dpd_force(
         f_cons = p["A"] * (rinv - rcutinv)
         e = p["A"] * (rcut_safe - r) - 0.5 * p["A"] * rcutinv * (rcutsq - rsq_safe)
 
-        rdotv = (
-            dx * (vxi - js["vx"][:, None, :])
-            + dy * (vyi - js["vy"][:, None, :])
-            + dz * (vzi - js["vz"][:, None, :])
-        )
+        rdotv = dx * dvx + dy * dvy + dz * dvz
         w_R = jnp.maximum(1.0 - r * rcutinv, 0.0) ** (0.5 * p["s"]) * rinv
         f_drag = -p["gamma"] * w_R * w_R * rdotv
 
         alpha = _rng.pair_uniform(
-            _rng.Stream.DPD_GENERAL_WEIGHT, seed, timestep, tag_i, js["tag"][:, None, :]
+            _rng.Stream.DPD_GENERAL_WEIGHT, seed, timestep, tag_i, tag_j
         )
         sigma_coeff = jnp.where(
             dt_arr > 0, jnp.sqrt(6.0 * p["gamma"] * kT / jnp.maximum(dt_arr, 1e-20)), 0.0
         )
         f_rand = sigma_coeff * w_R * alpha
+        return e, f_cons + f_drag + f_rand, f_cons, mask
 
-        f_total = f_cons + f_drag + f_rand
+    def iacc(carry, e, f_tot, f_cons, mask, dx, dy, dz):
+        fm = jnp.where(mask, f_tot, 0.0)
+        out = [
+            carry[0] + jnp.sum(fm * dx, axis=-1),
+            carry[1] + jnp.sum(fm * dy, axis=-1),
+            carry[2] + jnp.sum(fm * dz, axis=-1),
+        ]
+        if want != "force":
+            em = jnp.where(mask, e, 0.0)
+            w = 0.5 * jnp.where(mask, f_cons, 0.0)
+            out += [
+                carry[3] + 0.5 * jnp.sum(em, axis=-1),
+                carry[4] + jnp.sum(w * dx * dx, axis=-1),
+                carry[5] + jnp.sum(w * dx * dy, axis=-1),
+                carry[6] + jnp.sum(w * dx * dz, axis=-1),
+                carry[7] + jnp.sum(w * dy * dy, axis=-1),
+                carry[8] + jnp.sum(w * dy * dz, axis=-1),
+                carry[9] + jnp.sum(w * dz * dz, axis=-1),
+            ]
+        return tuple(out)
+
+    def finish(carry):
+        parts = tuple(a.reshape(spec.S) for a in carry)
+        force = jnp.stack(parts[:3], axis=-1)
         if want == "force":
-            return _pair_accumulate(carry, dx, dy, dz, e, f_total, mask, want)
-        # first 10 slots: total force + energy + conservative virial;
-        # conservative-only virial matches reference :239
-        c_tot = _pair_accumulate(carry[:10], dx, dy, dz, e, f_total, mask)
-        c_vir = _pair_accumulate(carry[10:], dx, dy, dz, e, f_cons, mask)
-        return c_tot + c_vir
+            return ForceResult(force=force, energy=None, virial=None)
+        return ForceResult(
+            force=force, energy=parts[3], virial=jnp.stack(parts[4:10], axis=-1)
+        )
 
-    n_out = 3 if want == "force" else 20
-    carry = _scan_stencil(
-        body, jb, spec, n_out=n_out, extra_keys=("vx", "vy", "vz", "tag")
+    if not jb.half:
+        def body(carry, js):
+            dx, dy, dz, rsq, mask = _offset_geometry(
+                dense, spec, xi, yi, zi, valid_i, js, masked, jb.preshifted
+            )
+            t_j = js["typeid"][:, None, :] if need_t else None
+            e, f_tot, f_cons, mask = eval_dpd(
+                dx, dy, dz, rsq, mask, t_j, js["tag"][:, None, :],
+                vxi - js["vx"][:, None, :],
+                vyi - js["vy"][:, None, :],
+                vzi - js["vz"][:, None, :],
+            )
+            return iacc(carry, e, f_tot, f_cons, mask, dx, dy, dz)
+
+        carry = _scan_stencil(
+            body, jb, spec, n_out=n_acc, extra_keys=("vx", "vy", "vz", "tag")
+        )
+        return finish(carry)
+
+    # Newton half-stencil: evaluate each unordered pair once, scatter the
+    # force to both members (j side in the rolled frame, un-rolled after)
+    C, cap = spec.n_cells, spec.cap
+    Dx, Dy, Dz = spec.dims
+    offsets = spec.half_stencil()
+
+    def jside(e, f_tot, f_cons, mask, dx, dy, dz):
+        fm = jnp.where(mask, f_tot, 0.0)
+        cols = [
+            -jnp.sum(fm * dx, axis=1),
+            -jnp.sum(fm * dy, axis=1),
+            -jnp.sum(fm * dz, axis=1),
+        ]
+        if want != "force":
+            em = jnp.where(mask, e, 0.0)
+            w = 0.5 * jnp.where(mask, f_cons, 0.0)
+            cols += [
+                0.5 * jnp.sum(em, axis=1),
+                jnp.sum(w * dx * dx, axis=1),
+                jnp.sum(w * dx * dy, axis=1),
+                jnp.sum(w * dx * dz, axis=1),
+                jnp.sum(w * dy * dy, axis=1),
+                jnp.sum(w * dy * dz, axis=1),
+                jnp.sum(w * dz * dz, axis=1),
+            ]
+        return jnp.stack(cols, axis=-1)  # [C, cap, n_acc]
+
+    def body(carry, js):
+        dx = xi - js["x"][:, None, :]
+        dy = yi - js["y"][:, None, :]
+        dz = zi - js["z"][:, None, :]
+        rsq = dx * dx + dy * dy + dz * dz
+        mask = rsq > 0
+        if masked:
+            mask = mask & valid_i & (js["typeid"] >= 0)[:, None, :]
+        t_j = js["typeid"][:, None, :] if need_t else None
+        e, f_tot, f_cons, mask = eval_dpd(
+            dx, dy, dz, rsq, mask, t_j, js["tag"][:, None, :],
+            vxi - js["vx"][:, None, :],
+            vyi - js["vy"][:, None, :],
+            vzi - js["vz"][:, None, :],
+        )
+        carry = iacc(carry, e, f_tot, f_cons, mask, dx, dy, dz)
+        return carry, jside(e, f_tot, f_cons, mask, dx, dy, dz)
+
+    js_all = {
+        "x": jb.x, "y": jb.y, "z": jb.z,
+        "vx": jb.vx, "vy": jb.vy, "vz": jb.vz, "tag": jb.tag,
+    }
+    if jb.typeid is not None:
+        js_all["typeid"] = jb.typeid
+    carry0 = tuple(jnp.zeros((C, cap), jnp.float32) for _ in range(n_acc))
+    carry, ys = jax.lax.scan(body, carry0, js_all)
+
+    # self-cell, strict upper triangle (i < j within the cell)
+    def self_view(a):
+        return a.reshape(C, 1, cap)
+
+    dx = xi - self_view(dense.position[:, 0])
+    dy = yi - self_view(dense.position[:, 1])
+    dz = zi - self_view(dense.position[:, 2])
+    rsq = dx * dx + dy * dy + dz * dz
+    tri = (
+        jnp.arange(cap, dtype=jnp.int32)[None, None, :]
+        > jnp.arange(cap, dtype=jnp.int32)[None, :, None]
     )
-    if want == "force":
-        return _finish_pair(carry, spec.S)
-    total = _finish_pair(carry[:10], spec.S)
-    cons = _finish_pair(carry[10:], spec.S)
-    return ForceResult(force=total.force, energy=total.energy, virial=cons.virial)
+    mask0 = tri & (rsq > 0)
+    if masked:
+        mask0 = mask0 & valid_i & (self_view(dense.tag >= 0))
+    t_j0 = self_view(dense.typeid) if need_t else None
+    e, f_tot, f_cons, mask0 = eval_dpd(
+        dx, dy, dz, rsq, mask0, t_j0, self_view(dense.tag),
+        vxi - self_view(dense.velocity[:, 0]),
+        vyi - self_view(dense.velocity[:, 1]),
+        vzi - self_view(dense.velocity[:, 2]),
+    )
+    carry = iacc(carry, e, f_tot, f_cons, mask0, dx, dy, dz)
+    jacc = jside(e, f_tot, f_cons, mask0, dx, dy, dz)
+
+    g = ys.reshape(len(offsets), Dx, Dy, Dz, cap, n_acc)
+    for k, o in enumerate(offsets):
+        jacc = jacc + _roll_cells(g[k], spec, o).reshape(C, cap, n_acc)
+    total = tuple(carry[i] + jacc[..., i] for i in range(n_acc))
+    return finish(total)
 
 
 def dense_aniso_force(
@@ -1164,11 +1278,14 @@ def dense_aniso_force(
     """Anisotropic pair potential (force + torque) over the dense stencil.
 
     ``want="force"`` keeps force AND torque (integrators with rotational
-    state read both) but drops energy/virial reductions.
+    state read both) but drops energy/virial reductions. With ``jb.half``
+    each unordered pair is evaluated once: the j member receives ``-f``
+    (Newton) and its OWN torque ``tj`` from the evaluator (torques are
+    not antisymmetric; the evaluator computes both, reference
+    AnisoPairEvaluatorTwoPatchMorse.h:179-192); the virial contribution
+    ``0.5 dx f`` is identical for both members (dx and f both flip).
     """
     from .pair_force import ForceResult
-
-    assert not jb.half, "aniso kernel requires the full stencil"
 
     T = r_cut_table.shape[0]
     v = _i_views(dense, spec)
@@ -1177,25 +1294,24 @@ def dense_aniso_force(
     t_i = v(dense.typeid) if need_t else None
     valid_i = v(dense.tag >= 0) if masked else None
     quat_i = tuple(v(dense.orientation[:, k]) for k in range(4))
+    n_acc = 6 if want == "force" else 13
 
-    def body(carry, js):
-        dx, dy, dz, rsq, mask = _offset_geometry(
-            dense, spec, xi, yi, zi, valid_i, js, masked, jb.preshifted
-        )
-        t_j = js["typeid"][:, None, :] if need_t else None
+    def eval_aniso(dx, dy, dz, rsq, mask, t_j, quat_j):
+        """(e, f, ti, tj, mask) for one pair batch; f/ti/tj are 3-tuples."""
         p = _pair_params(tables, t_i, t_j, T)
         rcut = _pair_params({"r": r_cut_table}, t_i, t_j, T)["r"]
         rcutsq = rcut * rcut
         mask = mask & (rsq < rcutsq)
-        quat_j = tuple(js[k][:, None, :] for k in ("qw", "qx", "qy", "qz"))
         dx_s = jnp.where(mask, dx, 1.0)
         dy_s = jnp.where(mask, dy, 0.0)
         dz_s = jnp.where(mask, dz, 0.0)
-        e, f, ti, _tj = energy_force_torque_fn(
+        e, f, ti, tj = energy_force_torque_fn(
             (dx_s, dy_s, dz_s), quat_i, quat_j,
             jnp.where(rcut > 0, rcutsq, 4.0), p, mode == "shift",
         )
+        return e, f, ti, tj, mask
 
+    def iacc(carry, e, f, ti, mask, dx, dy, dz):
         def msum(val):
             return jnp.sum(jnp.where(mask, val, 0.0), axis=-1)
 
@@ -1219,22 +1335,109 @@ def dense_aniso_force(
             ]
         return tuple(out)
 
-    n_out = 6 if want == "force" else 13
-    carry = _scan_stencil(
-        body, jb, spec, n_out=n_out, extra_keys=("qw", "qx", "qy", "qz")
+    def finish(carry):
+        S = spec.S
+        parts = tuple(a.reshape(S) for a in carry)
+        force = jnp.stack(parts[:3], axis=-1)
+        torque = jnp.stack(parts[3:6], axis=-1)
+        if want == "force":
+            return ForceResult(force=force, energy=None, virial=None, torque=torque)
+        return ForceResult(
+            force=force,
+            energy=parts[6],
+            virial=jnp.stack(parts[7:13], axis=-1),
+            torque=torque,
+        )
+
+    if not jb.half:
+        def body(carry, js):
+            dx, dy, dz, rsq, mask = _offset_geometry(
+                dense, spec, xi, yi, zi, valid_i, js, masked, jb.preshifted
+            )
+            t_j = js["typeid"][:, None, :] if need_t else None
+            quat_j = tuple(js[k][:, None, :] for k in ("qw", "qx", "qy", "qz"))
+            e, f, ti, _tj, mask = eval_aniso(dx, dy, dz, rsq, mask, t_j, quat_j)
+            return iacc(carry, e, f, ti, mask, dx, dy, dz)
+
+        carry = _scan_stencil(
+            body, jb, spec, n_out=n_acc, extra_keys=("qw", "qx", "qy", "qz")
+        )
+        return finish(carry)
+
+    # Newton half-stencil
+    C, cap = spec.n_cells, spec.cap
+    Dx, Dy, Dz = spec.dims
+    offsets = spec.half_stencil()
+
+    def jside(e, f, tj, mask, dx, dy, dz):
+        def msum(val):
+            return jnp.sum(jnp.where(mask, val, 0.0), axis=1)
+
+        cols = [
+            -msum(f[0]), -msum(f[1]), -msum(f[2]),
+            msum(tj[0]), msum(tj[1]), msum(tj[2]),
+        ]
+        if want == "all":
+            cols += [
+                0.5 * msum(e),
+                0.5 * msum(dx * f[0]),
+                0.5 * msum(dx * f[1]),
+                0.5 * msum(dx * f[2]),
+                0.5 * msum(dy * f[1]),
+                0.5 * msum(dy * f[2]),
+                0.5 * msum(dz * f[2]),
+            ]
+        return jnp.stack(cols, axis=-1)  # [C, cap, n_acc]
+
+    def body(carry, js):
+        dx = xi - js["x"][:, None, :]
+        dy = yi - js["y"][:, None, :]
+        dz = zi - js["z"][:, None, :]
+        rsq = dx * dx + dy * dy + dz * dz
+        mask = rsq > 0
+        if masked:
+            mask = mask & valid_i & (js["typeid"] >= 0)[:, None, :]
+        t_j = js["typeid"][:, None, :] if need_t else None
+        quat_j = tuple(js[k][:, None, :] for k in ("qw", "qx", "qy", "qz"))
+        e, f, ti, tj, mask = eval_aniso(dx, dy, dz, rsq, mask, t_j, quat_j)
+        carry = iacc(carry, e, f, ti, mask, dx, dy, dz)
+        return carry, jside(e, f, tj, mask, dx, dy, dz)
+
+    js_all = {
+        "x": jb.x, "y": jb.y, "z": jb.z,
+        "qw": jb.qw, "qx": jb.qx, "qy": jb.qy, "qz": jb.qz,
+    }
+    if jb.typeid is not None:
+        js_all["typeid"] = jb.typeid
+    carry0 = tuple(jnp.zeros((C, cap), jnp.float32) for _ in range(n_acc))
+    carry, ys = jax.lax.scan(body, carry0, js_all)
+
+    # self-cell, strict upper triangle
+    def self_view(a):
+        return a.reshape(C, 1, cap)
+
+    dx = xi - self_view(dense.position[:, 0])
+    dy = yi - self_view(dense.position[:, 1])
+    dz = zi - self_view(dense.position[:, 2])
+    rsq = dx * dx + dy * dy + dz * dz
+    tri = (
+        jnp.arange(cap, dtype=jnp.int32)[None, None, :]
+        > jnp.arange(cap, dtype=jnp.int32)[None, :, None]
     )
-    S = spec.S
-    parts = tuple(a.reshape(S) for a in carry)
-    force = jnp.stack(parts[:3], axis=-1)
-    torque = jnp.stack(parts[3:6], axis=-1)
-    if want == "force":
-        return ForceResult(force=force, energy=None, virial=None, torque=torque)
-    return ForceResult(
-        force=force,
-        energy=parts[6],
-        virial=jnp.stack(parts[7:13], axis=-1),
-        torque=torque,
-    )
+    mask0 = tri & (rsq > 0)
+    if masked:
+        mask0 = mask0 & valid_i & self_view(dense.tag >= 0)
+    t_j0 = self_view(dense.typeid) if need_t else None
+    quat_j0 = tuple(self_view(dense.orientation[:, k]) for k in range(4))
+    e, f, ti, tj, mask0 = eval_aniso(dx, dy, dz, rsq, mask0, t_j0, quat_j0)
+    carry = iacc(carry, e, f, ti, mask0, dx, dy, dz)
+    jacc = jside(e, f, tj, mask0, dx, dy, dz)
+
+    g = ys.reshape(len(offsets), Dx, Dy, Dz, cap, n_acc)
+    for k, o in enumerate(offsets):
+        jacc = jacc + _roll_cells(g[k], spec, o).reshape(C, cap, n_acc)
+    total = tuple(carry[i] + jacc[..., i] for i in range(n_acc))
+    return finish(total)
 
 
 def dense_bond_force(

@@ -105,9 +105,18 @@ class _StateView:
         return self._sim._synced_state().box
 
     def get_snapshot(self) -> Snapshot:
-        return state_to_snapshot(
+        snap = state_to_snapshot(
             self._sim._synced_state(), self._sim._particle_types, self._sim._bond_types
         )
+        mpcd = self._sim._mpcd
+        if mpcd is not None:
+            snap.mpcd.resize(mpcd["position"].shape[0])
+            snap.mpcd.position[:] = np.asarray(mpcd["position"])
+            snap.mpcd.velocity[:] = np.asarray(mpcd["velocity"])
+            snap.mpcd.typeid[:] = np.asarray(mpcd["typeid"])
+            snap.mpcd.mass = mpcd["mass"]
+            snap.mpcd.types = list(mpcd["types"])
+        return snap
 
     def set_snapshot(self, snapshot: Snapshot):
         self._sim._set_snapshot(snapshot)
@@ -164,6 +173,20 @@ class Simulation:
 
     def _set_snapshot(self, snapshot: Snapshot):
         self._state, self._particle_types, self._bond_types = state_from_snapshot(snapshot)
+        # MPCD solvent stream: stored for the computes
+        # (include_mpcd_particles); no MPCD dynamics, matching the plugin
+        # boundary (/root/reference/src/VelocityFieldCompute.h:331-352)
+        mpcd = getattr(snapshot, "mpcd", None)
+        if mpcd is not None and mpcd.N > 0:
+            self._mpcd = {
+                "position": jnp.asarray(mpcd.position, jnp.float32),
+                "velocity": jnp.asarray(mpcd.velocity, jnp.float32),
+                "typeid": jnp.asarray(mpcd.typeid, jnp.int32),
+                "mass": float(mpcd.mass),
+                "types": list(mpcd.types),
+            }
+        else:
+            self._mpcd = None
         self._drop_dense()
         self._invalidate()
 
@@ -331,14 +354,11 @@ class Simulation:
         masked = tilted or (spec is not None and not spec.newton_ok)
         need_typeid = masked or len(self._particle_types) > 1
 
-        # Newton half-stencil: valid for isotropic pairs on grids with >=3
-        # cells per axis. DPD (needs per-pair velocity/tags) and aniso
-        # (needs torque_j) kernels still walk the full stencil.
-        use_half = (
-            spec is not None
-            and spec.newton_ok
-            and not (need_vel or need_tag or need_quat)
-        )
+        # Newton half-stencil: valid on grids with >= 3 cells per axis.
+        # Every dense driver scatters both Newton sides (pair/DPD/aniso;
+        # DPD noise is i<->j symmetric via sorted tags, aniso j-side gets
+        # its own evaluator torque), so half is universal when newton_ok.
+        use_half = spec is not None and spec.newton_ok
 
         def compute_all(dense, slot_of, t, tbls, want="all"):
             jb = (

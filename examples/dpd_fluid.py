@@ -6,13 +6,18 @@ src/pytest/test_pair_dpd.py pattern). Also demonstrates the s exponent of
 the general weight function w(r) = (1 - r/rcut)^(s/2).
 """
 
+import os
+
 import numpy as np
 
 import azplugins_tpu as az
 
+# CI smoke mode: tiny system + short runs (tests/test_examples.py)
+FAST = os.environ.get("AZTPU_EXAMPLE_FAST") == "1"
+
 
 def main():
-    n = 10
+    n = 6 if FAST else 10
     rho = 3.0  # standard DPD density
     N = n**3
     L = (N / rho) ** (1 / 3)
@@ -39,9 +44,9 @@ def main():
     thermo = az.compute.ThermodynamicQuantities()
     sim.operations.computes.append(thermo)
 
-    sim.run(500)  # thermostat heats the lattice from rest
+    sim.run(100 if FAST else 500)  # thermostat heats the lattice from rest
     samples = []
-    for _ in range(20):
+    for _ in range(3 if FAST else 20):
         sim.run(50)
         samples.append(thermo.kinetic_temperature)
     print(f"<kT> = {np.mean(samples):.3f} +- {np.std(samples):.3f} (target 1.0)")

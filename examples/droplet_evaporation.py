@@ -8,13 +8,18 @@ reference was built for (see /root/reference legacy components:
 VariantSphereArea, ParticleEvaporator).
 """
 
+import os
+
 import numpy as np
 
 import azplugins_tpu as az
 
+# CI smoke mode: tiny system + short runs (tests/test_examples.py)
+FAST = os.environ.get("AZTPU_EXAMPLE_FAST") == "1"
+
 
 def main():
-    L, R0 = 30.0, 9.0
+    L, R0 = (20.0, 5.0) if FAST else (30.0, 9.0)
     # carve the droplet from a simple-cubic lattice (overlap-free start)
     a = 1.1
     g = np.arange(-R0, R0 + a, a)
@@ -66,8 +71,8 @@ def main():
     )
     sim.state.thermalize_particle_momenta(kT=1.0)
 
-    for block in range(5):
-        sim.run(500)
+    for block in range(2 if FAST else 5):
+        sim.run(150 if FAST else 500)
         snap_now = sim.state.get_snapshot()
         n_solvent = int((snap_now.particles.typeid == 0).sum())
         print(

@@ -4,12 +4,19 @@ Melts a simple-cubic lattice, logs temperature/energy, writes a
 trajectory. Runs on TPU or CPU.
 """
 
+import os
+
 import numpy as np
 
 import azplugins_tpu as az
 
+# CI smoke mode: tiny system + short runs (tests/test_examples.py)
+FAST = os.environ.get("AZTPU_EXAMPLE_FAST") == "1"
 
-def make_lattice_snapshot(n_side=10, rho=0.8):
+
+def make_lattice_snapshot(n_side=None, rho=0.8):
+    if n_side is None:
+        n_side = 6 if FAST else 10
     N = n_side**3
     L = (N / rho) ** (1 / 3)
     a = L / n_side
@@ -44,10 +51,12 @@ def main():
     logger.add(thermo, ["kinetic_temperature"], prefix="thermo")
     logger["U/N"] = lambda: lj.energy / sim.state.N_particles
     sim.operations += az.write.Table(trigger=500, logger=logger)
-    sim.operations += az.write.Trajectory(trigger=1000, filename="lj_fluid.azt")
+    sim.operations += az.write.Trajectory(
+        trigger=200 if FAST else 1000, filename="lj_fluid.azt"
+    )
 
     sim.state.thermalize_particle_momenta(kT=1.2)
-    sim.run(5000)
+    sim.run(400 if FAST else 5000)
     print(f"final kT = {thermo.kinetic_temperature:.3f}, U/N = "
           f"{lj.energy / sim.state.N_particles:.3f}")
 

@@ -7,9 +7,14 @@ src/AnisoPairEvaluatorTwoPatchMorse.h). Torques are exposed as an
 observable.
 """
 
+import os
+
 import numpy as np
 
 import azplugins_tpu as az
+
+# CI smoke mode: tiny system + short runs (tests/test_examples.py)
+FAST = os.environ.get("AZTPU_EXAMPLE_FAST") == "1"
 
 
 def main():
@@ -46,7 +51,7 @@ def main():
     )
     sim.state.thermalize_particle_momenta(kT=0.3)
     q0 = sim.state.get_snapshot().particles.orientation.copy()
-    sim.run(1000)
+    sim.run(150 if FAST else 1000)
 
     torques = np.asarray(patchy.torques)
     q1 = sim.state.get_snapshot().particles.orientation

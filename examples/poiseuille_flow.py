@@ -6,13 +6,18 @@ Particles are dragged toward the imposed parabolic profile u_x(y); the
 binned velocity field measured across y should reproduce it.
 """
 
+import os
+
 import numpy as np
 
 import azplugins_tpu as az
 
+# CI smoke mode: tiny system + short runs (tests/test_examples.py)
+FAST = os.environ.get("AZTPU_EXAMPLE_FAST") == "1"
+
 
 def main():
-    n, a = 12, 1.1
+    n, a = (8 if FAST else 12), 1.1
     N, L = n**3, n * 1.1
     snap = az.Snapshot(N=N)
     snap.configuration.box = [L, L, L, 0, 0, 0]
@@ -45,7 +50,7 @@ def main():
     sim.operations.computes.append(field)
 
     sim.state.thermalize_particle_momenta(kT=0.5)
-    sim.run(3000)
+    sim.run(300 if FAST else 3000)
 
     y = np.asarray(field.coordinates)
     v = np.asarray(field.velocities)
