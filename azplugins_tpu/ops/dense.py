@@ -1045,9 +1045,16 @@ def _pallas_half_pair_force(
     ]
     counts = _cell_counts(dense, spec)
     stc = _stencil_counts(counts, spec, offsets)
+    # 256-lane blocks measured ~10% faster than 128 at the 64k shapes
+    # (fewer grid programs, same VMEM fit via J segmentation); small grids
+    # keep 128 so the occupancy bounds stay tight. AZTPU_CELL_BLOCK forces
+    # a width (tests/tuning).
+    cb = int(os.environ.get("AZTPU_CELL_BLOCK", "0")) or (
+        256 if C >= 1024 else 128
+    )
     fi, fj = PP.stencil_pair_force_kernel(
         f_divr, scalars, *its, *jts, counts, stc,
-        cap_pad=cap_pad, interpret=interpret,
+        cap_pad=cap_pad, cell_block=cb, interpret=interpret,
     )
 
     Dx, Dy, Dz = spec.dims

@@ -90,6 +90,33 @@ def test_pallas_j_segmented(monkeypatch):
     )
 
 
+def test_pallas_cell_block_256(monkeypatch):
+    """The 256-lane block width (the 64k production choice) on a small
+    grid: C=216 pads to one 256-lane block, exercising the wide-bounds
+    reshape and sentinel padding."""
+    dense, spec = _dense_system()
+    tables, r_cut = _plj_tables()
+    ef = PAIR_POTENTIALS["PerturbedLennardJones"].energy_force
+
+    def run():
+        jb = D.make_jblocks(dense, spec, half=True, need_typeid=False)
+        return D.dense_pair_force(
+            ef, dense, jb, spec, tables, r_cut,
+            mode="none", want="force", masked=False,
+        )
+
+    monkeypatch.setenv("AZTPU_PALLAS", "0")
+    ref = run()
+    monkeypatch.setenv("AZTPU_PALLAS", "1")
+    monkeypatch.setenv("AZTPU_CELL_BLOCK", "256")
+    got = run()
+    scale = np.abs(np.asarray(ref.force)).max()
+    np.testing.assert_allclose(
+        np.asarray(got.force), np.asarray(ref.force),
+        atol=2e-5 * scale, rtol=2e-5,
+    )
+
+
 def test_pallas_cell_padding(monkeypatch):
     """Cell counts not divisible by the 128-lane block exercise padding."""
     dense, spec = _dense_system(N=200, L=9.0)  # 5^3 = 125 cells

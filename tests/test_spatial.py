@@ -1,0 +1,120 @@
+"""Spatial (x-slab) decomposition: ppermute-migration rebin vs global rebin.
+
+The spatial rebin (parallel/spatial.py) must produce a BITWISE-identical
+slot layout to ops.dense.rebin — the local fused sort keys on
+(cell, global input row), the same order the global sort uses — so
+trajectories cannot depend on which rebin path ran (VERDICT r1 item 9,
+SURVEY §2.12).
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+import azplugins_tpu as az
+from azplugins_tpu.core.state import state_from_snapshot
+from azplugins_tpu.ops import dense as D
+from azplugins_tpu.parallel import make_mesh, shard_state
+from azplugins_tpu.parallel.spatial import spatial_rebin
+
+
+def _grid_system(N=700, seed=4):
+    """Box sized for dims=(8, 4, 4) at r_list=1.8 so 8 devices get 1 plane each."""
+    rng = np.random.default_rng(seed)
+    L = [14.5, 7.3, 7.3]
+    snap = az.Snapshot(N=N)
+    snap.configuration.box = L + [0, 0, 0]
+    snap.particles.types = ["A", "B"]
+    snap.particles.typeid[:] = rng.integers(0, 2, N)
+    snap.particles.position[:] = (rng.random((N, 3)) - 0.5) * np.asarray(L)
+    state, _, _ = state_from_snapshot(snap)
+    spec = D.GridSpec.create(state.box, N, r_cut=1.5, buffer=0.3)
+    assert spec.dims[0] == 8, spec.dims
+    dense, meta = D.densify(state, spec)
+    assert not bool(meta.overflow)
+    return dense, meta, spec, N
+
+
+def _assert_state_equal(a, b):
+    for f in (
+        "position", "velocity", "acceleration", "typeid", "tag", "image",
+        "mass", "orientation",
+    ):
+        np.testing.assert_array_equal(
+            np.asarray(getattr(a, f)), np.asarray(getattr(b, f)), err_msg=f
+        )
+
+
+@pytest.mark.parametrize("drift", [0.0, 1.0])
+def test_spatial_rebin_bitwise_matches_global(drift):
+    dense, meta, spec, N = _grid_system()
+    if drift:
+        # unwrapped drift across cell/slab boundaries (< one slab width)
+        rng = np.random.default_rng(9)
+        S = dense.position.shape[0]
+        dpos = jnp.asarray(rng.uniform(-drift, drift, (S, 3)), jnp.float32)
+        dpos = jnp.where((dense.tag >= 0)[:, None], dpos, 0.0)
+        dense = dense.replace(position=dense.position + dpos)
+
+    ref_dense, ref_meta = D.rebin(dense, meta, spec, N)
+
+    mesh = make_mesh(8)
+    dense_sh = shard_state(dense, mesh)
+    got_dense, got_meta = spatial_rebin(
+        dense_sh, meta, spec, N, mesh=mesh
+    )
+    _assert_state_equal(ref_dense, got_dense)
+    np.testing.assert_array_equal(
+        np.asarray(ref_meta.slot_of), np.asarray(got_meta.slot_of)
+    )
+    assert bool(got_meta.overflow) == bool(ref_meta.overflow)
+    assert not bool(got_meta.overflow)
+
+
+def test_spatial_rebin_under_jit_sharded():
+    dense, meta, spec, N = _grid_system(seed=12)
+    mesh = make_mesh(8)
+    dense_sh = shard_state(dense, mesh)
+
+    @jax.jit
+    def go(d, m):
+        return spatial_rebin(d, m, spec, N, mesh=mesh)
+
+    got_dense, got_meta = go(dense_sh, meta)
+    ref_dense, _ = D.rebin(dense, meta, spec, N)
+    _assert_state_equal(ref_dense, got_dense)
+
+
+def test_spatial_rebin_flags_fast_particle():
+    """A particle jumping two slabs (impossible under the Verlet margin)
+    must raise the overflow flag, not silently vanish."""
+    dense, meta, spec, N = _grid_system(seed=5)
+    slot = int(np.argmax(np.asarray(dense.tag) >= 0))
+    jump = jnp.zeros_like(dense.position).at[slot, 0].set(2 * 14.5 / 8 + 0.2)
+    dense = dense.replace(position=dense.position + jump)
+    mesh = make_mesh(8)
+    _, got_meta = spatial_rebin(shard_state(dense, mesh), meta, spec, N, mesh=mesh)
+    assert bool(got_meta.overflow)
+
+
+def test_spatial_rebin_requires_aligned_slabs():
+    dense, meta, spec, N = _grid_system()
+    mesh = make_mesh(3)
+    with pytest.raises(ValueError, match="divisible"):
+        spatial_rebin(dense, meta, spec, N, mesh=mesh)
+
+
+def test_spatial_rebin_migrant_overflow_flag():
+    """Tiny migrate_cap forces the migrant-buffer overflow path."""
+    dense, meta, spec, N = _grid_system(seed=4)
+    rng = np.random.default_rng(3)
+    S = dense.position.shape[0]
+    dpos = jnp.asarray(rng.uniform(-1.5, 1.5, (S, 3)), jnp.float32)
+    dpos = jnp.where((dense.tag >= 0)[:, None], dpos, 0.0)
+    dense = dense.replace(position=dense.position + dpos)
+    mesh = make_mesh(8)
+    _, got_meta = spatial_rebin(
+        shard_state(dense, mesh), meta, spec, N, mesh=mesh, migrate_cap=8
+    )
+    assert bool(got_meta.overflow)
