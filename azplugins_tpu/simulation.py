@@ -152,6 +152,11 @@ class Simulation:
         self._run_chunk_bound = None
         self._bound_fp = None
         self._fields: tuple = D.ALL_FIELDS  # rebin payload columns (static)
+        # spatial decomposition (parallel/spatial.py): when set, dense
+        # slot arrays are sharded into x-slabs over this mesh and the
+        # segment rebuild runs the slab-local ppermute-migration rebin
+        self._spatial_mesh = None
+        self._spatial_migrate_cap: int | None = None
         self.max_chunk = 1000
         # rebuild interval: neighbor structure rebuilds at every timestep
         # divisible by _seg_len (absolute schedule; run() halves it when
@@ -435,6 +440,27 @@ class Simulation:
         # rebuild), False for the partial continuation chunk right after
         # an unaligned stop (its rebuild already happened in the
         # previous chunk).
+        mesh = self._spatial_mesh
+        if mesh is not None and spec is not None:
+            from .parallel.spatial import spatial_rebin as _spatial_rebin
+
+            n_slabs = mesh.shape["d"]
+            if spec.dims[0] % n_slabs != 0:
+                raise ValueError(
+                    f"spatial decomposition needs Dx ({spec.dims[0]}) "
+                    f"divisible by the mesh size ({n_slabs})"
+                )
+            mig = self._spatial_migrate_cap
+
+            def do_rebin(d, mt):
+                return _spatial_rebin(
+                    d, mt, spec, N_tags, fields, need_slot_of,
+                    mesh=mesh, migrate_cap=mig,
+                )
+        else:
+            def do_rebin(d, mt):
+                return D.rebin(d, mt, spec, N_tags, fields, need_slot_of)
+
         def run_chunk(dense, meta, t0, n_steps, seg_len, tbls, rebin_first=True):
             if spec is None:
                 def body(i, carry):
@@ -447,16 +473,20 @@ class Simulation:
             def step_body(k, carry):
                 d, mt, start, viol = carry
                 t = t0 + start + k
-                for m in methods:
-                    d = m.step1(d, dt, t, seed)
+                with jax.named_scope("integrate_step1"):
+                    for m in methods:
+                        d = m.step1(d, dt, t, seed)
                 # the drift check against the rebuild-reference positions;
                 # k == 0 after a fresh rebuild cannot violate unless a
                 # particle crosses half the margin in one step
-                viol = viol | D.needs_rebin(d, mt, spec)
-                net, ntq = compute_net(d, mt.slot_of, t, tbls)
+                with jax.named_scope("verlet_drift_check"):
+                    viol = viol | D.needs_rebin(d, mt, spec)
+                with jax.named_scope("forces"):
+                    net, ntq = compute_net(d, mt.slot_of, t, tbls)
                 d = _set_net(d, net, ntq)
-                for m in methods:
-                    d = m.step2(d, dt, t, seed)
+                with jax.named_scope("integrate_step2"):
+                    for m in methods:
+                        d = m.step2(d, dt, t, seed)
                 return d, mt, start, viol
 
             if not rebin_first:
@@ -470,7 +500,8 @@ class Simulation:
                 d, mt, viol = carry
                 start = s * seg_len
                 steps = jnp.minimum(seg_len, n_steps - start)
-                d, mt = D.rebin(d, mt, spec, N_tags, fields, need_slot_of)
+                with jax.named_scope("rebin"):
+                    d, mt = do_rebin(d, mt)
                 d, mt, _, viol = jax.lax.fori_loop(
                     0, steps, step_body, (d, mt, start, viol)
                 )
@@ -547,6 +578,45 @@ class Simulation:
         )
         if bool(self._meta.overflow):
             self._grow_and_rebuild()
+        self._place_spatial()
+
+    def _place_spatial(self):
+        """Shard the dense slot arrays into x-slabs over the spatial mesh."""
+        if self._spatial_mesh is None or self._dense is None:
+            return
+        from .parallel.mesh import shard_state
+
+        self._dense = shard_state(self._dense, self._spatial_mesh)
+        from jax.sharding import NamedSharding, PartitionSpec as P
+
+        m = self._spatial_mesh
+        self._meta = self._meta.replace(
+            ref_position=jax.device_put(
+                self._meta.ref_position, NamedSharding(m, P("d"))
+            ),
+            slot_of=jax.device_put(
+                self._meta.slot_of, NamedSharding(m, P())
+            ),
+        )
+
+    def enable_spatial_decomposition(self, mesh, migrate_cap: int | None = None):
+        """Distribute the simulation over ``mesh`` as x-slab spatial domains.
+
+        The cell-major slot axis shards into contiguous x-slabs (SURVEY
+        §2.12); segment rebuilds run the slab-local ppermute-migration
+        rebin (parallel/spatial.py) instead of the global sort, and the
+        force stencil's halo pads lower to collective permutes across
+        slab boundaries. Trajectories are bitwise identical to the
+        single-device run (the spatial rebin reproduces the global slot
+        layout exactly). Requires the grid's Dx divisible by the mesh
+        size — call after the grid exists (post-attach) or it is
+        validated at the next attach.
+        """
+        self._spatial_mesh = mesh
+        self._spatial_migrate_cap = migrate_cap
+        if self._attached:
+            self._build_runner()
+            self._place_spatial()
 
     @staticmethod
     def _max_occupancy_cap(state: State, spec: D.GridSpec, slack: int = 8) -> int:
@@ -616,6 +686,7 @@ class Simulation:
                 need_slot_of=state.n_bonds > 0,
             )
             if not bool(self._meta.overflow):
+                self._place_spatial()
                 return
         raise RuntimeError("cell capacity growth did not converge")
 

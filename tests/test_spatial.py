@@ -105,6 +105,45 @@ def test_spatial_rebin_requires_aligned_slabs():
         spatial_rebin(dense, meta, spec, N, mesh=mesh)
 
 
+def _slab_sim(seed):
+    """LJ fluid in a box whose grid is (8, 4, 4) — one x-plane per device."""
+    rng = np.random.default_rng(seed)
+    N = 600
+    L = [14.5, 7.3, 7.3]
+    snap = az.Snapshot(N=N)
+    snap.configuration.box = L + [0, 0, 0]
+    snap.particles.types = ["A"]
+    snap.particles.position[:] = (rng.random((N, 3)) - 0.5) * np.asarray(L)
+    sim = az.Simulation(seed=7)
+    sim.create_state_from_snapshot(snap)
+    lj = az.pair.Hertz(nlist=az.md.nlist.Cell(buffer=0.3), default_r_cut=1.5)
+    lj.params[("A", "A")] = dict(epsilon=5.0)
+    sim.operations.integrator = az.md.Integrator(
+        dt=0.002,
+        methods=[az.md.methods.Langevin(kT=0.8, default_gamma=1.0)],
+        forces=[lj],
+    )
+    sim.state.thermalize_particle_momenta(kT=0.8)
+    return sim
+
+
+def test_simulation_spatial_decomposition_bitwise():
+    """A spatially-decomposed Simulation reproduces the single-device
+    trajectory bitwise (the spatial rebin reproduces the global layout,
+    and RNG keys on tags)."""
+    ref = _slab_sim(seed=21)
+    ref.run(30)
+    ref_pos = np.asarray(ref.state.get_snapshot().particles.position)
+
+    sim = _slab_sim(seed=21)
+    sim._attach()
+    assert sim._grid_spec.dims[0] == 8, sim._grid_spec.dims
+    sim.enable_spatial_decomposition(make_mesh(8))
+    sim.run(30)
+    got_pos = np.asarray(sim.state.get_snapshot().particles.position)
+    np.testing.assert_array_equal(ref_pos, got_pos)
+
+
 def test_spatial_rebin_migrant_overflow_flag():
     """Tiny migrate_cap forces the migrant-buffer overflow path."""
     dense, meta, spec, N = _grid_system(seed=4)
