@@ -47,7 +47,9 @@ def _rotl32(x, r):
 
 # Threefry-2x32 rotation schedule (Salmon et al., SC'11).
 _ROTATIONS = (13, 15, 26, 6, 17, 29, 16, 24)
-_PARITY = jnp.uint32(0x1BD11BDA)
+# plain int, materialized inside each trace: a module-level DeviceArray
+# would be a captured constant, which Pallas kernel bodies reject
+_PARITY = 0x1BD11BDA
 
 
 def threefry2x32(k0, k1, c0, c1):
@@ -61,7 +63,7 @@ def threefry2x32(k0, k1, c0, c1):
     k1 = jnp.asarray(k1, dtype=jnp.uint32)
     x0 = jnp.asarray(c0, dtype=jnp.uint32) + k0
     x1 = jnp.asarray(c1, dtype=jnp.uint32) + k1
-    k2 = k0 ^ k1 ^ _PARITY
+    k2 = k0 ^ k1 ^ jnp.uint32(_PARITY)
     ks = (k0, k1, k2)
 
     for block in range(5):

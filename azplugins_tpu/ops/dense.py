@@ -839,14 +839,16 @@ def dense_pair_force(
     # force/energy/virial are scattered to both members (the j side in the
     # rolled frame, un-rolled with the positive offset after the scan).
     #
-    # Hot case (force-only, maskless sentinels, one type, force unchanged
-    # by the shift mode): hand off to the Pallas kernel, which evaluates
-    # both Newton sides in one VMEM-resident pass (ops/pallas_pair.py).
+    # Hot case (maskless sentinels, <= 2 particle types, no xplor): hand
+    # off to the Pallas kernel, which evaluates both Newton sides in one
+    # VMEM-resident pass (ops/pallas_pair.py); two-type parameters enter
+    # as an exact bilinear interpolation over typeids. want="all" adds
+    # energy + virial outputs (the observable pull path).
     # cap % 8: the kernel's j-subtile height must divide every J segment
-    # (segments are multiples of cap); odd caps take the XLA path below
+    # (segments are multiples of cap_pad); odd caps take the XLA path
     if (
-        want == "force" and not masked and T == 1 and mode != "xplor"
-        and spec.cap % 8 == 0
+        want in ("force", "all") and not masked and T <= 2
+        and mode != "xplor" and spec.cap % 8 == 0
     ):
         from . import pallas_pair as PP
 
@@ -854,7 +856,7 @@ def dense_pair_force(
         if pmode is not None:
             return _pallas_half_pair_force(
                 energy_force_fn, dense, jb, spec, tables, r_cut_table,
-                interpret=(pmode == "interpret"),
+                mode=mode, want=want, interpret=(pmode == "interpret"),
             )
     C, cap = spec.n_cells, spec.cap
     Dx, Dy, Dz = spec.dims
@@ -999,15 +1001,23 @@ def _roll_cells_t(a, spec: GridSpec, shift):
 
 def _pallas_half_pair_force(
     energy_force_fn, dense: State, jb: JBlocks, spec: GridSpec,
-    tables: dict, r_cut_table, interpret: bool = False,
+    tables: dict, r_cut_table, mode: str = "none", want: str = "force",
+    interpret: bool = False,
 ):
-    """Half-stencil single-type maskless pair force via the Pallas kernel.
+    """Half-stencil maskless pair force via the Pallas kernel (T <= 2).
 
     Physics identical to the XLA half-stencil branch of dense_pair_force;
     only the execution schedule differs (see ops/pallas_pair.py). The
     whole pipeline runs in the kernel's cell-minor [rows, C] frame: three
     input transposes, three output transposes, nothing per-offset.
     (``jb`` is ignored — stencil rows are rebuilt transposed.)
+
+    Two particle types enter as an exact bilinear interpolation of the
+    [2, 2] parameter tables over (typeid_i, typeid_j) — 1 fma per
+    parameter per pair instead of a gather (TPU vectors cannot gather).
+    Empty slots carry typeid -1; the extrapolated parameters are garbage
+    there, but the sentinel coordinates put rsq beyond every finite
+    cutoff, so the contribution is exactly zero.
     """
     from . import pallas_pair as PP
     from .pair_force import ForceResult
@@ -1016,25 +1026,93 @@ def _pallas_half_pair_force(
     offsets = spec.half_stencil()
     n_seg = len(offsets) + 1
     cap_pad = PP.pad_cap(cap)
+    T = r_cut_table.shape[0]
     keys = sorted(tables)
-    rcutsq = (r_cut_table * r_cut_table).reshape(())
-    scalars = [tables[k].reshape(()) for k in keys] + [rcutsq]
+    nk = len(keys)
+    rcutsq_t = r_cut_table * r_cut_table
+    need_ecut = want == "all" and mode == "shift"
+    if need_ecut:
+        ecut_t, _ = energy_force_fn(
+            jnp.where(rcutsq_t > 0, rcutsq_t, 4.0), rcutsq_t, tables
+        )
+
+    if T == 1:
+        scalars = [tables[k].reshape(()) for k in keys] + [rcutsq_t.reshape(())]
+        if need_ecut:
+            scalars.append(ecut_t.reshape(()))
+        extra_i = extra_j = ()
+
+        def unpack(svals, ei, ej):
+            p = dict(zip(keys, svals))
+            return p, svals[nk], (svals[nk + 1] if need_ecut else None)
+    else:
+        # bilinear coefficients: tab(ti, tj) = c0 + c1 ti + c2 tj + c3 ti tj
+        def coeffs(t):
+            t = t.astype(jnp.float32)
+            return [
+                t[0, 0].reshape(()),
+                (t[1, 0] - t[0, 0]).reshape(()),
+                (t[0, 1] - t[0, 0]).reshape(()),
+                (t[1, 1] - t[1, 0] - t[0, 1] + t[0, 0]).reshape(()),
+            ]
+
+        scalars = []
+        for k in keys:
+            scalars += coeffs(tables[k])
+        scalars += coeffs(rcutsq_t)
+        if need_ecut:
+            scalars += coeffs(ecut_t)
+
+        def unpack(svals, ei, ej):
+            ti, tj = ei[0], ej[0]
+            tij = ti * tj
+
+            def P(o):
+                return (
+                    svals[o]
+                    + svals[o + 1] * ti
+                    + svals[o + 2] * tj
+                    + svals[o + 3] * tij
+                )
+
+            p = {k: P(4 * i) for i, k in enumerate(keys)}
+            rcs = P(4 * nk)
+            ec = P(4 * nk + 4) if need_ecut else None
+            return p, rcs, ec
 
     fast = getattr(energy_force_fn, "pallas_force_divr", None)
-    if fast is not None:
+    if want == "force" and fast is not None:
         recip = (lambda x: 1.0 / x) if interpret else PP.approx_recip
 
-        def f_divr(rsq, svals):
-            p = dict(zip(keys, svals))
-            rcs = svals[-1]
-            return jnp.where(rsq < rcs, fast(rsq, p, recip), 0.0)
+        def eval_f(dx, dy, dz, rsq, ei, ej, svals):
+            p, rcs, _ = unpack(svals, ei, ej)
+            f = jnp.where(rsq < rcs, fast(rsq, p, recip), 0.0)
+            fx, fy, fz = f * dx, f * dy, f * dz
+            return [fx, fy, fz], [-fx, -fy, -fz]
+    elif want == "force":
+
+        def eval_f(dx, dy, dz, rsq, ei, ej, svals):
+            p, rcs, _ = unpack(svals, ei, ej)
+            _, f = energy_force_fn(rsq, rcs, p)
+            f = jnp.where(rsq < rcs, f, 0.0)
+            fx, fy, fz = f * dx, f * dy, f * dz
+            return [fx, fy, fz], [-fx, -fy, -fz]
     else:
 
-        def f_divr(rsq, svals):
-            p = dict(zip(keys, svals))
-            rcs = svals[-1]
-            _, f = energy_force_fn(rsq, rcs, p)
-            return jnp.where(rsq < rcs, f, 0.0)
+        def eval_f(dx, dy, dz, rsq, ei, ej, svals):
+            p, rcs, ec = unpack(svals, ei, ej)
+            e, f = energy_force_fn(rsq, rcs, p)
+            if ec is not None:
+                e = e - ec
+            inside = rsq < rcs
+            e = jnp.where(inside, e, 0.0)
+            f = jnp.where(inside, f, 0.0)
+            fx, fy, fz = f * dx, f * dy, f * dz
+            w = 0.5 * f
+            he = 0.5 * e
+            vir = [w * dx * dx, w * dx * dy, w * dx * dz,
+                   w * dy * dy, w * dy * dz, w * dz * dz]
+            return [fx, fy, fz, he, *vir], [-fx, -fy, -fz, he, *vir]
 
     shifts = _axis_shift_tables(dense.box) if jb.preshifted else (None,) * 3
     its = [dense.position[:, k].reshape(C, cap).T for k in range(3)]
@@ -1043,6 +1121,12 @@ def _pallas_half_pair_force(
         _stencil_rows_t(c, spec, offsets, s, cap_pad=cap_pad, fill=f)
         for c, s, f in zip(its, shifts, fills)
     ]
+    if T > 1:
+        t_f = dense.typeid.astype(jnp.float32).reshape(C, cap).T
+        extra_i = (t_f,)
+        extra_j = (
+            _stencil_rows_t(t_f, spec, offsets, None, cap_pad=cap_pad, fill=-1.0),
+        )
     counts = _cell_counts(dense, spec)
     stc = _stencil_counts(counts, spec, offsets)
     # 256-lane blocks measured ~10% faster than 128 at the 64k shapes
@@ -1053,20 +1137,143 @@ def _pallas_half_pair_force(
         256 if C >= 1024 else 128
     )
     fi, fj = PP.stencil_pair_force_kernel(
-        f_divr, scalars, *its, *jts, counts, stc,
-        cap_pad=cap_pad, cell_block=cb, interpret=interpret,
+        eval_f, scalars, *its, *jts, counts, stc,
+        cap_pad=cap_pad, extra_i=extra_i, extra_j=extra_j,
+        n_acc=_n_acc(want), cell_block=cb, interpret=interpret,
+    )
+
+    Dx, Dy, Dz = spec.dims
+    n_acc = _n_acc(want)
+    cols = []
+    for k3 in range(n_acc):
+        g = fj[k3].reshape(n_seg, cap_pad, Dx, Dy, Dz)[:, :cap]
+        acc = g[0]  # self cell: already in its true cell
+        for k, o in enumerate(offsets):
+            acc = acc + _roll_cells_t(g[k + 1], spec, o)
+        total = fi[k3] + acc.reshape(cap, C)
+        cols.append(total.T.reshape(C * cap))
+    force = jnp.stack(cols[:3], axis=-1)
+    if want == "force":
+        return ForceResult(force=force, energy=None, virial=None)
+    return ForceResult(
+        force=force, energy=cols[3], virial=jnp.stack(cols[4:10], axis=-1)
+    )
+
+
+def _pallas_half_dpd_force(
+    dense: State, jb: JBlocks, spec: GridSpec, tables: dict, r_cut_table,
+    kT, dt, seed: int, timestep, interpret: bool = False,
+):
+    """Single-type maskless DPD force via the Pallas stencil kernel.
+
+    The full DPD triple — conservative, drag, and the pair-symmetric
+    random force — evaluated once per unordered pair with the Threefry
+    counter RNG traced INTO the Mosaic kernel body (straight-line uint32
+    VPU math; reference per-pair RNG contract:
+    /root/reference/src/DPDPairEvaluatorGeneralWeight.h:213-231). Noise
+    is keyed on sorted true tags, so it is bitwise identical to the XLA
+    paths and independent of the stencil/kernel schedule. The traced
+    ``timestep`` rides the SMEM scalar channel as two exact f32 halves
+    (a raw uint32 above 2^24 would not survive the f32 channel).
+    """
+    from . import pallas_pair as PP
+    from .pair_force import ForceResult
+
+    C, cap = spec.n_cells, spec.cap
+    offsets = spec.half_stencil()
+    n_seg = len(offsets) + 1
+    cap_pad = PP.pad_cap(cap)
+
+    kT_f = jnp.float32(kT)
+    dt_f = jnp.float32(dt)
+    sigma = jnp.where(
+        dt_f > 0,
+        jnp.sqrt(6.0 * tables["gamma"].reshape(()) * kT_f / jnp.maximum(dt_f, 1e-20)),
+        0.0,
+    )
+    t_u = jnp.asarray(timestep, jnp.uint32)
+    k1_hi = (t_u >> jnp.uint32(16)).astype(jnp.float32)
+    k1_lo = (t_u & jnp.uint32(0xFFFF)).astype(jnp.float32)
+    k0 = float((int(_rng.Stream.DPD_GENERAL_WEIGHT) << 16) ^ (int(seed) & 0xFFFF))
+    scalars = [
+        tables["A"].reshape(()),
+        tables["gamma"].reshape(()),
+        tables["s"].reshape(()),
+        r_cut_table.reshape(()),
+        sigma,
+        jnp.float32(k0),
+        k1_hi,
+        k1_lo,
+    ]
+
+    def eval_f(dx, dy, dz, rsq, ei, ej, svals):
+        vxi, vyi, vzi, tgi = ei
+        vxj, vyj, vzj, tgj = ej
+        A, gamma, s_exp, rcut, sig, k0f, hi16, lo16 = svals
+        rcutsq = rcut * rcut
+        inside = rsq < rcutsq
+        rsq_safe = jnp.where(inside, rsq, 1.0)
+        rinv = jax.lax.rsqrt(rsq_safe)
+        r = rsq_safe * rinv
+        rcutinv = 1.0 / rcut
+        f_cons = A * (rinv - rcutinv)
+        rdotv = dx * (vxi - vxj) + dy * (vyi - vyj) + dz * (vzi - vzj)
+        w_R = jnp.maximum(1.0 - r * rcutinv, 0.0) ** (0.5 * s_exp) * rinv
+        f_drag = -gamma * w_R * w_R * rdotv
+        ta = tgi.astype(jnp.int32).astype(jnp.uint32)
+        tb = tgj.astype(jnp.int32).astype(jnp.uint32)
+        lo = jnp.minimum(ta, tb)
+        hi = jnp.maximum(ta, tb)
+        # svals arrive as Python floats (folded constants) or f32 SMEM
+        # scalars (traced timestep); coerce either to exact uint32
+        k0u = jnp.asarray(k0f, jnp.float32).astype(jnp.uint32)
+        k1u = (
+            jnp.asarray(hi16, jnp.float32).astype(jnp.uint32)
+            << jnp.uint32(16)
+        ) | jnp.asarray(lo16, jnp.float32).astype(jnp.uint32)
+        x0, _ = _rng.threefry2x32(k0u, k1u, lo, hi)
+        alpha = _rng.uniform_from_bits(x0)
+        f = jnp.where(inside, f_cons + f_drag + sig * w_R * alpha, 0.0)
+        fx, fy, fz = f * dx, f * dy, f * dz
+        return [fx, fy, fz], [-fx, -fy, -fz]
+
+    shifts = _axis_shift_tables(dense.box) if jb.preshifted else (None,) * 3
+    its = [dense.position[:, k].reshape(C, cap).T for k in range(3)]
+    fills = (-PP._SENTINEL, 0.0, 0.0)
+    jts = [
+        _stencil_rows_t(c, spec, offsets, s, cap_pad=cap_pad, fill=f)
+        for c, s, f in zip(its, shifts, fills)
+    ]
+    vts = [dense.velocity[:, k].reshape(C, cap).T for k in range(3)]
+    tag_f = dense.tag.astype(jnp.float32).reshape(C, cap).T
+    extra_i = (*vts, tag_f)
+    extra_j = tuple(
+        _stencil_rows_t(v, spec, offsets, None, cap_pad=cap_pad, fill=fv)
+        for v, fv in zip((*vts, tag_f), (0.0, 0.0, 0.0, -1.0))
+    )
+    counts = _cell_counts(dense, spec)
+    stc = _stencil_counts(counts, spec, offsets)
+    cb = int(os.environ.get("AZTPU_CELL_BLOCK", "0")) or (
+        256 if C >= 1024 else 128
+    )
+    fi, fj = PP.stencil_pair_force_kernel(
+        eval_f, scalars, *its, *jts, counts, stc,
+        cap_pad=cap_pad, extra_i=extra_i, extra_j=extra_j, n_acc=3,
+        cell_block=cb, interpret=interpret,
     )
 
     Dx, Dy, Dz = spec.dims
     force = []
     for k3 in range(3):
         g = fj[k3].reshape(n_seg, cap_pad, Dx, Dy, Dz)[:, :cap]
-        acc = g[0]  # self cell: already in its true cell
+        acc = g[0]
         for k, o in enumerate(offsets):
             acc = acc + _roll_cells_t(g[k + 1], spec, o)
         total = fi[k3] + acc.reshape(cap, C)
         force.append(total.T.reshape(C * cap))
-    return ForceResult(force=jnp.stack(force, axis=-1), energy=None, virial=None)
+    return ForceResult(
+        force=jnp.stack(force, axis=-1), energy=None, virial=None
+    )
 
 
 def dense_dpd_force(
@@ -1187,6 +1394,23 @@ def dense_dpd_force(
 
     # Newton half-stencil: evaluate each unordered pair once, scatter the
     # force to both members (j side in the rolled frame, un-rolled after)
+    #
+    # Hot case (force-only, maskless, one type): Pallas kernel with the
+    # per-pair Threefry traced into the Mosaic body (SURVEY §7 hard part
+    # #3 — the RNG is the dominant per-pair cost and runs on the VPU's
+    # integer lanes). Tags must be f32-exact (< 2^24).
+    if (
+        want == "force" and not masked and T == 1 and spec.cap % 8 == 0
+        and dense.N < (1 << 24)
+    ):
+        from . import pallas_pair as PP
+
+        pmode = PP.pallas_mode()
+        if pmode is not None:
+            return _pallas_half_dpd_force(
+                dense, jb, spec, tables, r_cut_table, kT, dt, seed,
+                timestep, interpret=(pmode == "interpret"),
+            )
     C, cap = spec.n_cells, spec.cap
     Dx, Dy, Dz = spec.dims
     offsets = spec.half_stencil()
@@ -1269,6 +1493,93 @@ def dense_dpd_force(
         jacc = jacc + _roll_cells(g[k], spec, o).reshape(C, cap, n_acc)
     total = tuple(carry[i] + jacc[..., i] for i in range(n_acc))
     return finish(total)
+
+
+def _pallas_half_aniso_force(
+    energy_force_torque_fn, dense: State, jb: JBlocks, spec: GridSpec,
+    tables: dict, r_cut_table, mode: str, interpret: bool = False,
+):
+    """Single-type maskless aniso force+torque via the Pallas kernel.
+
+    n_acc = 6: force x/y/z on each Newton side (j gets -f) plus each
+    side's OWN torque from the evaluator (torques are not antisymmetric;
+    reference AnisoPairEvaluatorTwoPatchMorse.h:179-192). Quaternions
+    ride the generic extra-plane channel (4 per side).
+    """
+    from . import pallas_pair as PP
+    from .pair_force import ForceResult
+
+    C, cap = spec.n_cells, spec.cap
+    offsets = spec.half_stencil()
+    n_seg = len(offsets) + 1
+    cap_pad = PP.pad_cap(cap)
+    keys = sorted(tables)
+    nk = len(keys)
+    rcutsq = (r_cut_table * r_cut_table).reshape(())
+    scalars = [tables[k].reshape(()) for k in keys] + [rcutsq]
+    shift = mode == "shift"
+
+    def eval_f(dx, dy, dz, rsq, ei, ej, svals):
+        p = {
+            k: jnp.asarray(v, jnp.float32)
+            for k, v in zip(keys, svals[:nk])
+        }
+        rcs = jnp.asarray(svals[nk], jnp.float32)
+        e, f, ti, tj = energy_force_torque_fn(
+            (dx, dy, dz), ei, ej, jnp.maximum(rcs, 1e-6), p, shift
+        )
+        inside = rsq < rcs
+        out_i, out_j = [], []
+        for k3 in range(3):
+            fk = jnp.where(inside, f[k3], 0.0)
+            out_i.append(fk)
+            out_j.append(-fk)
+        for k3 in range(3):
+            out_i.append(jnp.where(inside, ti[k3], 0.0))
+        for k3 in range(3):
+            out_j.append(jnp.where(inside, tj[k3], 0.0))
+        return out_i, out_j
+
+    shifts = _axis_shift_tables(dense.box) if jb.preshifted else (None,) * 3
+    its = [dense.position[:, k].reshape(C, cap).T for k in range(3)]
+    fills = (-PP._SENTINEL, 0.0, 0.0)
+    jts = [
+        _stencil_rows_t(c, spec, offsets, s, cap_pad=cap_pad, fill=f)
+        for c, s, f in zip(its, shifts, fills)
+    ]
+    qts = [dense.orientation[:, k].reshape(C, cap).T for k in range(4)]
+    qfills = (1.0, 0.0, 0.0, 0.0)
+    extra_i = tuple(qts)
+    extra_j = tuple(
+        _stencil_rows_t(q, spec, offsets, None, cap_pad=cap_pad, fill=fq)
+        for q, fq in zip(qts, qfills)
+    )
+    counts = _cell_counts(dense, spec)
+    stc = _stencil_counts(counts, spec, offsets)
+    cb = int(os.environ.get("AZTPU_CELL_BLOCK", "0")) or (
+        256 if C >= 1024 else 128
+    )
+    fi, fj = PP.stencil_pair_force_kernel(
+        eval_f, scalars, *its, *jts, counts, stc,
+        cap_pad=cap_pad, extra_i=extra_i, extra_j=extra_j, n_acc=6,
+        cell_block=cb, interpret=interpret,
+    )
+
+    Dx, Dy, Dz = spec.dims
+    cols = []
+    for k3 in range(6):
+        g = fj[k3].reshape(n_seg, cap_pad, Dx, Dy, Dz)[:, :cap]
+        acc = g[0]
+        for k, o in enumerate(offsets):
+            acc = acc + _roll_cells_t(g[k + 1], spec, o)
+        total = fi[k3] + acc.reshape(cap, C)
+        cols.append(total.T.reshape(C * cap))
+    return ForceResult(
+        force=jnp.stack(cols[:3], axis=-1),
+        energy=None,
+        virial=None,
+        torque=jnp.stack(cols[3:6], axis=-1),
+    )
 
 
 def dense_aniso_force(
@@ -1372,6 +1683,21 @@ def dense_aniso_force(
         return finish(carry)
 
     # Newton half-stencil
+    #
+    # Hot case (force+torque, maskless, one type): Pallas kernel with the
+    # quaternion patch math traced into the Mosaic body
+    if (
+        want == "force" and not masked and T == 1
+        and mode != "xplor" and spec.cap % 8 == 0
+    ):
+        from . import pallas_pair as PP
+
+        pmode = PP.pallas_mode()
+        if pmode is not None:
+            return _pallas_half_aniso_force(
+                energy_force_torque_fn, dense, jb, spec, tables,
+                r_cut_table, mode, interpret=(pmode == "interpret"),
+            )
     C, cap = spec.n_cells, spec.cap
     Dx, Dy, Dz = spec.dims
     offsets = spec.half_stencil()

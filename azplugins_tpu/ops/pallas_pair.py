@@ -1,15 +1,16 @@
 """Pallas TPU kernel for the dense-stencil pair force (the hot op).
 
 Replaces the XLA scan in ops/dense.dense_pair_force for the hot case
-(want="force", maskless sentinel path, single particle type): one Mosaic
-kernel computes BOTH Newton sides of every pair in a single pass over the
-half-stencil J blocks, with accumulators resident in VMEM.
+(maskless sentinel path, T <= 2 particle types): one Mosaic kernel
+computes BOTH Newton sides of every pair in a single pass over the
+half-stencil J blocks, with accumulators resident in VMEM. Optional
+energy + virial outputs serve the observable pull path (``want="all"``).
 
 Layout is chosen for the VPU's (8 sublanes, 128 lanes) tiles:
 
   * arrays are **cell-minor** ``[rows, C]`` — lanes run over cells, so any
     cap (i-rows) and any J (stencil rows) give full lane utilization with
-    zero padding waste (C is padded to a multiple of the 128-lane block
+    zero padding waste (C is padded to a multiple of the lane block
     once, with far-sentinel cells that interact with nothing);
   * the kernel loops over i-slots; each iteration evaluates one i-row
     against a ``[H, CB]`` j-subtile — perfectly regular tiles, no
@@ -30,12 +31,17 @@ PotentialPair evaluator protocol, see
 /root/reference/src/PairEvaluator.h:67-140).
 
 Work skipping rides the cell-occupancy structure: slots fill
-front-to-back within each cell (the rebin gather), so per 128-cell lane
-block the i-row loop runs only to the block's max occupancy, and a
-j-subtile whose rows all exceed its offset's max neighbor occupancy is
-skipped outright (its output rows are written as zeros). Both bounds come
-from per-block SMEM scalars computed from the current cell counts —
-measured ~(48/56)^2 = 0.73x of the evaluations at the 64k bench shapes.
+front-to-back within each cell (the rebin gather), so per lane block the
+i-row loop runs only to the block's max occupancy, and a j-subtile whose
+rows all exceed its offset's max neighbor occupancy is skipped outright
+(its output rows are written as zeros). Both bounds come from per-block
+SMEM scalars computed from the current cell counts — measured
+~(48/56)^2 = 0.73x of the evaluations at the 64k bench shapes.
+
+**Extra planes** generalize the evaluator inputs: per-i-row and per-j-row
+f32 planes (e.g. typeids for multi-type parameter interpolation, or
+velocities/tags for a future DPD kernel) are threaded through to the
+evaluator callback alongside dx/dy/dz/rsq.
 
 The j-side partial sums come back in the rolled frame ``[J, C]``; the
 caller un-rolls them with the inverse stencil slices (cheap XLA copies).
@@ -52,7 +58,8 @@ import numpy as np
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-__all__ = ["stencil_pair_force_kernel", "has_tpu", "pallas_mode", "approx_recip"]
+__all__ = ["stencil_pair_force_kernel", "has_tpu", "pallas_mode", "approx_recip",
+           "pad_cap"]
 
 _SENTINEL = 1.0e18
 # j-subtile height of the pair microkernel (rows per register-resident
@@ -105,8 +112,8 @@ def pallas_mode() -> str | None:
     return None
 
 
-def _kernel(eval_f_divr, svals_const, cap, cap_pad, Jseg, CB, H, n_sc,
-            *refs):
+def _kernel(eval_f, svals_const, n_acc, cap, cap_pad, Jseg, CB, H, n_sc,
+            n_ei, n_ej, *refs):
     """j-subtile-outer / i-group-inner pair microkernel.
 
     The v2 formulation (whole [Jseg, CB] j-block per i-row) re-read the
@@ -122,24 +129,37 @@ def _kernel(eval_f_divr, svals_const, cap, cap_pad, Jseg, CB, H, n_sc,
     ``svals_const``: potential parameters as Python floats (folded into
     the trace — the production path, parameters are jit-time constants)
     or None (parameters stream through an SMEM ref, first in ``refs``).
+
+    ``eval_f(dx, dy, dz, rsq, extra_i, extra_j, svals)`` returns
+    ``(terms_i, terms_j)`` — two length-``n_acc`` lists of [H, CB]
+    contributions accumulated to the i and j members of each pair (e.g.
+    ``([fx, fy, fz], [-fx, -fy, -fz])`` for a Newton pair force). Every
+    term must be exactly zero beyond the cutoff (sentinel coordinates
+    give huge rsq, so no validity masks exist in the kernel).
     """
+    refs = list(refs)
     if svals_const is None:
-        sc_ref, refs = refs[0], refs[1:]
+        sc_ref = refs.pop(0)
         svals = [sc_ref[k, 0] for k in range(n_sc)]
     else:
         svals = list(svals_const)
-    (ib_ref, jb_ref,
-     xi_ref, yi_ref, zi_ref, jx_ref, jy_ref, jz_ref,
-     fxi_ref, fyi_ref, fzi_ref, fxj_ref, fyj_ref, fzj_ref,
-     sxi_ref, syi_ref, szi_ref) = refs
+    ib_ref = refs.pop(0)
+    jb_ref = refs.pop(0)
+    xi_ref, yi_ref, zi_ref = refs.pop(0), refs.pop(0), refs.pop(0)
+    ei_refs = [refs.pop(0) for _ in range(n_ei)]
+    jx_ref, jy_ref, jz_ref = refs.pop(0), refs.pop(0), refs.pop(0)
+    ej_refs = [refs.pop(0) for _ in range(n_ej)]
+    fi_refs = [refs.pop(0) for _ in range(n_acc)]  # outputs [cap, CB]
+    fj_refs = [refs.pop(0) for _ in range(n_acc)]  # outputs [Jseg, CB]
+    si_refs = [refs.pop(0) for _ in range(n_acc)]  # scratch [cap, CB]
+    assert not refs
 
     iblk = pl.program_id(0)
     kseg = pl.program_id(1)
 
     # i-side partial accumulators for this (block, segment)
-    sxi_ref[:] = jnp.zeros((cap, CB), jnp.float32)
-    syi_ref[:] = jnp.zeros((cap, CB), jnp.float32)
-    szi_ref[:] = jnp.zeros((cap, CB), jnp.float32)
+    for r in si_refs:
+        r[:] = jnp.zeros((cap, CB), jnp.float32)
 
     # i-row groups of 8 up to this block's max occupancy (rows beyond it
     # are empty in every lane-cell of the block)
@@ -161,6 +181,7 @@ def _kernel(eval_f_divr, svals_const, cap, cap_pad, Jseg, CB, H, n_sc,
                 jx_t = jx_ref[pl.ds(j0, H), :]
                 jy_t = jy_ref[pl.ds(j0, H), :]
                 jz_t = jz_ref[pl.ds(j0, H), :]
+                ej_t = [r[pl.ds(j0, H), :] for r in ej_refs]
                 if with_tri:
                     # self-cell rows: Newton strict upper triangle via one
                     # compare folded into rsq (rows of this subtile past
@@ -170,14 +191,13 @@ def _kernel(eval_f_divr, svals_const, cap, cap_pad, Jseg, CB, H, n_sc,
                     )
 
                 def i_group(g, carry):
-                    fjx, fjy, fjz = carry
+                    jaccs = list(carry)
                     i0 = pl.multiple_of(g * 8, 8)
                     xg = xi_ref[pl.ds(i0, 8), :]
                     yg = yi_ref[pl.ds(i0, 8), :]
                     zg = zi_ref[pl.ds(i0, 8), :]
-                    sxg = jnp.zeros((8, CB), jnp.float32)
-                    syg = jnp.zeros((8, CB), jnp.float32)
-                    szg = jnp.zeros((8, CB), jnp.float32)
+                    eg = [r[pl.ds(i0, 8), :] for r in ei_refs]
+                    sacc = [jnp.zeros((8, CB), jnp.float32) for _ in range(n_acc)]
                     for s in range(8):
                         dx = xg[s, :][None, :] - jx_t
                         dy = yg[s, :][None, :] - jy_t
@@ -187,39 +207,36 @@ def _kernel(eval_f_divr, svals_const, cap, cap_pad, Jseg, CB, H, n_sc,
                             rsq = jnp.where(
                                 jrow > i0 + s, rsq, jnp.float32(1.0e30)
                             )
-                        f = eval_f_divr(rsq, svals)
-                        fx = f * dx
-                        fy = f * dy
-                        fz = f * dz
-                        fjx = fjx - fx
-                        fjy = fjy - fy
-                        fjz = fjz - fz
+                        ei_s = [e[s, :][None, :] for e in eg]
+                        terms_i, terms_j = eval_f(
+                            dx, dy, dz, rsq, ei_s, ej_t, svals
+                        )
+                        for k in range(n_acc):
+                            jaccs[k] = jaccs[k] + terms_j[k]
                         one = (
                             jax.lax.broadcasted_iota(jnp.int32, (8, CB), 0)
                             == s
                         )
-                        sxg = sxg + jnp.where(one, jnp.sum(fx, axis=0), 0.0)
-                        syg = syg + jnp.where(one, jnp.sum(fy, axis=0), 0.0)
-                        szg = szg + jnp.where(one, jnp.sum(fz, axis=0), 0.0)
-                    sxi_ref[pl.ds(i0, 8), :] += sxg
-                    syi_ref[pl.ds(i0, 8), :] += syg
-                    szi_ref[pl.ds(i0, 8), :] += szg
-                    return fjx, fjy, fjz
+                        for k in range(n_acc):
+                            sacc[k] = sacc[k] + jnp.where(
+                                one, jnp.sum(terms_i[k], axis=0), 0.0
+                            )
+                    for k in range(n_acc):
+                        si_refs[k][pl.ds(i0, 8), :] += sacc[k]
+                    return tuple(jaccs)
 
                 z = jnp.zeros((H, CB), jnp.float32)
-                fjx, fjy, fjz = jax.lax.fori_loop(
-                    0, n_igroups, i_group, (z, z, z)
+                jaccs = jax.lax.fori_loop(
+                    0, n_igroups, i_group, (z,) * n_acc
                 )
-                fxj_ref[pl.ds(j0, H), :] = fjx
-                fyj_ref[pl.ds(j0, H), :] = fjy
-                fzj_ref[pl.ds(j0, H), :] = fjz
+                for k in range(n_acc):
+                    fj_refs[k][pl.ds(j0, H), :] = jaccs[k]
 
             @pl.when(r0 >= jbound)
             def _skip():
                 z = jnp.zeros((H, CB), jnp.float32)
-                fxj_ref[pl.ds(j0, H), :] = z
-                fyj_ref[pl.ds(j0, H), :] = z
-                fzj_ref[pl.ds(j0, H), :] = z
+                for k in range(n_acc):
+                    fj_refs[k][pl.ds(j0, H), :] = z
 
             return 0
 
@@ -244,36 +261,37 @@ def _kernel(eval_f_divr, svals_const, cap, cap_pad, Jseg, CB, H, n_sc,
     # across the (innermost) segment grid dimension
     @pl.when(kseg == 0)
     def _():
-        fxi_ref[:] = sxi_ref[:]
-        fyi_ref[:] = syi_ref[:]
-        fzi_ref[:] = szi_ref[:]
+        for k in range(n_acc):
+            fi_refs[k][:] = si_refs[k][:]
 
     @pl.when(kseg > 0)
     def _():
-        fxi_ref[:] = fxi_ref[:] + sxi_ref[:]
-        fyi_ref[:] = fyi_ref[:] + syi_ref[:]
-        fzi_ref[:] = fzi_ref[:] + szi_ref[:]
+        for k in range(n_acc):
+            fi_refs[k][:] = fi_refs[k][:] + si_refs[k][:]
 
 
-def _choose_jseg(J, cap_pad, CB):
+def _choose_jseg(J, cap_pad, CB, n_acc=3, n_extra=0):
     """Largest J segment (multiple of cap_pad) whose working set fits VMEM.
 
-    Per-block VMEM ~ 4*CB*(2*3*(Jseg+cap) double-buffered io + ~8*Jseg
-    temporaries + 3*cap scratch).
+    Per-block VMEM ~ 4*CB*((3+n_extra+n_acc)*(Jseg+cap)*2 double-buffered
+    io + ~8*Jseg temporaries + n_acc*cap scratch).
     """
     n_seg = J // cap_pad
+    width = 3 + n_extra + n_acc
     for parts in range(1, n_seg + 1):
         if n_seg % parts:
             continue
         jseg = J // parts
-        need = 4 * CB * (6 * (jseg + cap_pad) + 8 * jseg + 3 * cap_pad)
+        need = 4 * CB * (
+            2 * width * (jseg + cap_pad) + 8 * jseg + n_acc * cap_pad
+        )
         if need <= _VMEM_BUDGET:
             return jseg
     return cap_pad
 
 
 def stencil_pair_force_kernel(
-    eval_f_divr,
+    eval_f,
     scalars,            # sequence of f32 scalars (potential parameters)
     xi_t, yi_t, zi_t,   # [cap, C] f32, cell-minor i coordinates
     jx_t, jy_t, jz_t,   # [J, C] f32, per-offset cap_pad-row pre-shifted blocks
@@ -281,15 +299,23 @@ def stencil_pair_force_kernel(
     stencil_counts,     # [n_seg, C] int32: occupancy of each offset's neighbor
     *,
     cap_pad: int,
+    extra_i=(),         # tuple of [cap, C] f32 planes passed to eval_f
+    extra_j=(),         # tuple of [J, C] f32 planes passed to eval_f
+    n_acc: int = 3,
     cell_block: int = 128,
     interpret: bool = False,
 ):
-    """Run the stencil pair kernel. Returns (fi, fj) as cell-minor arrays.
+    """Run the stencil pair kernel.
 
-    ``eval_f_divr(rsq, svals) -> force/r`` must be a pure elementwise jnp
-    function of rsq and the scalar parameter list (cutoff included: it
-    must return 0 beyond r_cut — sentinel coordinates give huge rsq, so
-    no validity masks are needed). Parameters fold into the trace as
+    Returns ``(acc_i, acc_j)`` — lists of ``n_acc`` cell-minor arrays
+    (``[cap, C]`` / ``[J, C]``): whatever per-pair terms ``eval_f``
+    emits, accumulated per i slot and per rolled j slot (e.g. force
+    x/y/z; force + energy/2 + 6 virial components; force + torque).
+
+    ``eval_f(dx, dy, dz, rsq, extra_i, extra_j, svals) -> (terms_i,
+    terms_j)`` must be a pure elementwise jnp function whose terms are
+    exactly zero beyond r_cut — sentinel coordinates give huge rsq, so
+    no validity masks are needed. Parameters fold into the trace as
     constants when concrete (the production path: tables are baked into
     the compiled chunk) and stream through SMEM when traced.
     """
@@ -309,6 +335,9 @@ def stencil_pair_force_kernel(
         )
     CB = int(cell_block)
     Cp = ((C + CB - 1) // CB) * CB
+    extra_i = list(extra_i)
+    extra_j = list(extra_j)
+    n_ei, n_ej = len(extra_i), len(extra_j)
     if Cp != C:
         # pad cells with far sentinels (opposite signs so pad-pad and
         # pad-real distances are all huge): padded cells interact with
@@ -319,6 +348,8 @@ def stencil_pair_force_kernel(
         big = jnp.float32(_SENTINEL)
         xi_t, yi_t, zi_t = padi(xi_t, big), padi(yi_t, 0.0), padi(zi_t, 0.0)
         jx_t, jy_t, jz_t = padi(jx_t, -big), padi(jy_t, 0.0), padi(jz_t, 0.0)
+        extra_i = [padi(a, 0.0) for a in extra_i]
+        extra_j = [padi(a, 0.0) for a in extra_j]
     n_blocks = Cp // CB
     # per-lane-block occupancy bounds (padding cells are empty: bound 0)
     cnt = counts.astype(jnp.int32)
@@ -329,7 +360,7 @@ def stencil_pair_force_kernel(
     ib = cnt.reshape(n_blocks, CB).max(axis=1).reshape(n_blocks, 1)
     jb = sc_cnt.reshape(n_seg, n_blocks, CB).max(axis=2).T  # [n_blocks, n_seg]
 
-    Jseg = _choose_jseg(J, cap_pad, CB)
+    Jseg = _choose_jseg(J, cap_pad, CB, n_acc=n_acc, n_extra=n_ei + n_ej)
     n_jseg = J // Jseg
     grid = (n_blocks, n_jseg)
 
@@ -341,7 +372,8 @@ def stencil_pair_force_kernel(
 
     n_sc = len(scalars)
     kern = functools.partial(
-        _kernel, eval_f_divr, svals_const, cap, cap_pad, Jseg, CB, H, n_sc
+        _kernel, eval_f, svals_const, n_acc, cap, cap_pad, Jseg, CB, H,
+        n_sc, n_ei, n_ej,
     )
     in_specs = []
     inputs = []
@@ -362,23 +394,24 @@ def stencil_pair_force_kernel(
         ),
     ]
     inputs += [ib, jb]
-    in_specs += [ispec()] * 3 + [jspec()] * 3
-    inputs += [xi_t, yi_t, zi_t, jx_t, jy_t, jz_t]
+    in_specs += [ispec()] * (3 + n_ei) + [jspec()] * (3 + n_ej)
+    inputs += [xi_t, yi_t, zi_t, *extra_i, jx_t, jy_t, jz_t, *extra_j]
 
     out = pl.pallas_call(
         kern,
         grid=grid,
         in_specs=in_specs,
-        out_specs=[ispec()] * 3 + [jspec()] * 3,
+        out_specs=[ispec()] * n_acc + [jspec()] * n_acc,
         out_shape=(
-            [jax.ShapeDtypeStruct((cap, Cp), jnp.float32)] * 3
-            + [jax.ShapeDtypeStruct((J, Cp), jnp.float32)] * 3
+            [jax.ShapeDtypeStruct((cap, Cp), jnp.float32)] * n_acc
+            + [jax.ShapeDtypeStruct((J, Cp), jnp.float32)] * n_acc
         ),
-        scratch_shapes=[pltpu.VMEM((cap, CB), jnp.float32)] * 3,
+        scratch_shapes=[pltpu.VMEM((cap, CB), jnp.float32)] * n_acc,
         interpret=interpret,
     )(*inputs)
-    fxi, fyi, fzi, fxj, fyj, fzj = out
+    fi = list(out[:n_acc])
+    fj = list(out[n_acc:])
     if Cp != C:
-        fxi, fyi, fzi = fxi[:, :C], fyi[:, :C], fzi[:, :C]
-        fxj, fyj, fzj = fxj[:, :C], fyj[:, :C], fzj[:, :C]
-    return (fxi, fyi, fzi), (fxj, fyj, fzj)
+        fi = [a[:, :C] for a in fi]
+        fj = [a[:, :C] for a in fj]
+    return fi, fj

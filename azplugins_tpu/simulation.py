@@ -671,6 +671,17 @@ class Simulation:
             self._drop_dense()
             self._prepared = False
 
+    def profile(self, logdir: str):
+        """``with sim.profile("/tmp/trace"): sim.run(n)`` — captures a
+        ``jax.profiler`` trace (view with TensorBoard/XProf). Step phases
+        appear as named scopes: rebin, integrate_step1,
+        verlet_drift_check, forces, integrate_step2 (the TPU analog of
+        the reference's HOOMD Profiler push/pop phases,
+        /root/reference/src/TwoStepLangevinFlow.h:110-111)."""
+        import jax.profiler
+
+        return jax.profiler.trace(str(logdir))
+
     def dt_ref(self) -> float:
         integ = self.operations.integrator
         return float(integ.dt) if integ is not None else 0.0

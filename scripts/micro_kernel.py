@@ -44,11 +44,13 @@ def main():
     keys = sorted(prec)
     scalars = [jnp.float32(prec[k]) for k in keys] + [jnp.float32(9.0)]
 
-    def f_divr(rsq, svals):
+    def f_divr(dx, dy, dz, rsq, ei, ej, svals):
         p = dict(zip(keys, svals))
         rcs = svals[-1]
         _, f = PAIR_POTENTIALS["PerturbedLennardJones"].energy_force(rsq, rcs, p)
-        return jnp.where(rsq < rcs, f, 0.0)
+        f = jnp.where(rsq < rcs, f, 0.0)
+        fx, fy, fz = f * dx, f * dy, f * dz
+        return [fx, fy, fz], [-fx, -fy, -fz]
 
     shifts = D._axis_shift_tables(dense.box)
     cap_pad = PP.pad_cap(cap)
@@ -105,8 +107,10 @@ def main():
     timeit("stencil rows build", jbt_only, dense, iters=iters)
     timeit("wrapper full force", wrapper_full, dense, iters=iters)
 
-    def f_trivial(rsq, svals):
-        return jnp.where(rsq < svals[-1], rsq * svals[0], 0.0)
+    def f_trivial(dx, dy, dz, rsq, ei, ej, svals):
+        f = jnp.where(rsq < svals[-1], rsq * svals[0], 0.0)
+        fx, fy, fz = f * dx, f * dy, f * dz
+        return [fx, fy, fz], [-fx, -fy, -fz]
 
     def make_kernel(evalf, cb):
         @jax.jit

@@ -90,6 +90,170 @@ def test_pallas_j_segmented(monkeypatch):
     )
 
 
+@pytest.mark.parametrize("mode", ["none", "shift"])
+def test_pallas_energy_virial_outputs(monkeypatch, mode):
+    """want="all": the kernel's energy/virial outputs match the XLA path."""
+    dense, spec = _dense_system()
+    tables, r_cut = _plj_tables()
+    ef = PAIR_POTENTIALS["PerturbedLennardJones"].energy_force
+
+    def run():
+        jb = D.make_jblocks(dense, spec, half=True, need_typeid=False)
+        return D.dense_pair_force(
+            ef, dense, jb, spec, tables, r_cut,
+            mode=mode, want="all", masked=False,
+        )
+
+    monkeypatch.setenv("AZTPU_PALLAS", "0")
+    ref = run()
+    monkeypatch.setenv("AZTPU_PALLAS", "1")
+    got = run()
+    for field in ("force", "energy", "virial"):
+        r = np.asarray(getattr(ref, field))
+        g = np.asarray(getattr(got, field))
+        scale = max(np.abs(r).max(), 1.0)
+        np.testing.assert_allclose(
+            g, r, atol=3e-5 * scale, rtol=3e-5, err_msg=field
+        )
+
+
+@pytest.mark.parametrize("want", ["force", "all"])
+def test_pallas_two_types_bilinear(monkeypatch, want):
+    """T=2: per-pair parameters via exact bilinear interpolation match the
+    XLA one-hot path, including asymmetric tables and a disabled pair."""
+    rng = np.random.default_rng(7)
+    N, L = 400, 12.0
+    snap = az.Snapshot(N=N)
+    snap.configuration.box = [L, L, L, 0, 0, 0]
+    snap.particles.types = ["A", "B"]
+    snap.particles.typeid[:] = rng.integers(0, 2, N)
+    snap.particles.position[:] = (rng.random((N, 3)) - 0.5) * L
+    state, _, _ = state_from_snapshot(snap)
+    spec = D.GridSpec.create(state.box, N, r_cut=1.5, buffer=0.3)
+    dense, meta = D.densify(state, spec)
+    assert not bool(meta.overflow)
+
+    prec = PAIR_POTENTIALS["PerturbedLennardJones"].precompute
+    vals = {
+        (0, 0): dict(epsilon=1.0, sigma=1.0, attraction_scale_factor=1.0),
+        (0, 1): dict(epsilon=0.6, sigma=1.1, attraction_scale_factor=0.5),
+        (1, 1): dict(epsilon=0.0, sigma=1.0, attraction_scale_factor=0.0),
+    }
+    keys = prec(vals[(0, 0)]).keys()
+    tables = {k: np.zeros((2, 2), np.float32) for k in keys}
+    for (a, b), v in vals.items():
+        p = prec(v)
+        for k in keys:
+            tables[k][a, b] = tables[k][b, a] = p[k]
+    tables = {k: jnp.asarray(v) for k, v in tables.items()}
+    r_cut = jnp.asarray([[1.5, 1.3], [1.3, 0.0]], jnp.float32)
+    ef = PAIR_POTENTIALS["PerturbedLennardJones"].energy_force
+
+    def run():
+        jb = D.make_jblocks(dense, spec, half=True, need_typeid=True)
+        return D.dense_pair_force(
+            ef, dense, jb, spec, tables, r_cut,
+            mode="shift", want=want, masked=False,
+        )
+
+    monkeypatch.setenv("AZTPU_PALLAS", "0")
+    ref = run()
+    monkeypatch.setenv("AZTPU_PALLAS", "1")
+    got = run()
+    fields = ("force",) if want == "force" else ("force", "energy", "virial")
+    for field in fields:
+        r = np.asarray(getattr(ref, field))
+        g = np.asarray(getattr(got, field))
+        scale = max(np.abs(r).max(), 1.0)
+        np.testing.assert_allclose(
+            g, r, atol=3e-5 * scale, rtol=3e-5, err_msg=field
+        )
+
+
+def test_pallas_dpd_matches_xla(monkeypatch):
+    """DPD with the Threefry traced into the kernel: noise keyed on sorted
+    tags is bitwise identical pair-by-pair, so forces match the XLA half
+    path to summation-order rounding."""
+    rng = np.random.default_rng(13)
+    dense, spec = _dense_system(N=500)
+    S = dense.position.shape[0]
+    vel = jnp.asarray(rng.normal(0, 1, (S, 3)), jnp.float32)
+    vel = jnp.where((dense.tag >= 0)[:, None], vel, 0.0)
+    dense = dense.replace(velocity=vel)
+    tables = {
+        "A": jnp.full((1, 1), 25.0, jnp.float32),
+        "gamma": jnp.full((1, 1), 4.5, jnp.float32),
+        "s": jnp.full((1, 1), 0.5, jnp.float32),
+    }
+    r_cut = jnp.full((1, 1), 1.5, jnp.float32)
+
+    def run():
+        jb = D.make_jblocks(
+            dense, spec, need_velocity=True, need_tag=True, half=True,
+            need_typeid=False,
+        )
+        return D.dense_dpd_force(
+            dense, jb, spec, tables, r_cut, kT=1.2, dt=0.01, seed=11,
+            timestep=jnp.int32(77), want="force", masked=False,
+        )
+
+    monkeypatch.setenv("AZTPU_PALLAS", "0")
+    ref = run()
+    monkeypatch.setenv("AZTPU_PALLAS", "1")
+    got = run()
+    f_ref = np.asarray(ref.force)
+    scale = max(np.abs(f_ref).max(), 1.0)
+    np.testing.assert_allclose(
+        np.asarray(got.force), f_ref, atol=5e-5 * scale, rtol=5e-5
+    )
+
+
+@pytest.mark.parametrize("mode", ["none", "shift"])
+def test_pallas_aniso_matches_xla(monkeypatch, mode):
+    """TwoPatchMorse force AND per-side torques through the Pallas kernel
+    (quaternions on the extra-plane channel) match the XLA half path."""
+    from azplugins_tpu.ops.evaluators.aniso import ANISO_PAIR_POTENTIALS
+
+    rng = np.random.default_rng(17)
+    dense, spec = _dense_system(N=400)
+    S = dense.position.shape[0]
+    q = rng.normal(size=(S, 4))
+    q /= np.linalg.norm(q, axis=1, keepdims=True)
+    quat = jnp.where(
+        (dense.tag >= 0)[:, None],
+        jnp.asarray(q, jnp.float32),
+        jnp.asarray([1.0, 0, 0, 0], jnp.float32),
+    )
+    dense = dense.replace(orientation=quat)
+    prec = ANISO_PAIR_POTENTIALS["TwoPatchMorse"].precompute(
+        dict(M_d=1.5, M_r=0.2, r_eq=1.0, omega=15.0, alpha=0.5, repulsion=True)
+    )
+    tables = {k: jnp.full((1, 1), float(v), jnp.float32) for k, v in prec.items()}
+    r_cut = jnp.full((1, 1), 1.5, jnp.float32)
+    ef = ANISO_PAIR_POTENTIALS["TwoPatchMorse"].energy_force_torque
+
+    def run():
+        jb = D.make_jblocks(
+            dense, spec, need_quat=True, half=True, need_typeid=False
+        )
+        return D.dense_aniso_force(
+            ef, dense, jb, spec, tables, r_cut,
+            mode=mode, want="force", masked=False,
+        )
+
+    monkeypatch.setenv("AZTPU_PALLAS", "0")
+    ref = run()
+    monkeypatch.setenv("AZTPU_PALLAS", "1")
+    got = run()
+    for field in ("force", "torque"):
+        r = np.asarray(getattr(ref, field))
+        g = np.asarray(getattr(got, field))
+        scale = max(np.abs(r).max(), 1.0)
+        np.testing.assert_allclose(
+            g, r, atol=3e-5 * scale, rtol=3e-5, err_msg=field
+        )
+
+
 def test_pallas_cell_block_256(monkeypatch):
     """The 256-lane block width (the 64k production choice) on a small
     grid: C=216 pads to one 256-lane block, exercising the wide-bounds
