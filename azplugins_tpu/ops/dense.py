@@ -839,16 +839,17 @@ def dense_pair_force(
     # force/energy/virial are scattered to both members (the j side in the
     # rolled frame, un-rolled with the positive offset after the scan).
     #
-    # Hot case (maskless sentinels, <= 2 particle types, no xplor): hand
-    # off to the Pallas kernel, which evaluates both Newton sides in one
+    # Hot case (maskless sentinels, <= 2 particle types): hand off to the
+    # Pallas kernel, which evaluates both Newton sides in one
     # VMEM-resident pass (ops/pallas_pair.py); two-type parameters enter
     # as an exact bilinear interpolation over typeids. want="all" adds
-    # energy + virial outputs (the observable pull path).
+    # energy + virial outputs (the observable pull path); xplor smoothing
+    # is applied inside the evaluator closure.
     # cap % 8: the kernel's j-subtile height must divide every J segment
     # (segments are multiples of cap_pad); odd caps take the XLA path
     if (
         want in ("force", "all") and not masked and T <= 2
-        and mode != "xplor" and spec.cap % 8 == 0
+        and spec.cap % 8 == 0
     ):
         from . import pallas_pair as PP
 
@@ -856,7 +857,8 @@ def dense_pair_force(
         if pmode is not None:
             return _pallas_half_pair_force(
                 energy_force_fn, dense, jb, spec, tables, r_cut_table,
-                mode=mode, want=want, interpret=(pmode == "interpret"),
+                r_on_table=r_on_table, mode=mode, want=want,
+                interpret=(pmode == "interpret"),
             )
     C, cap = spec.n_cells, spec.cap
     Dx, Dy, Dz = spec.dims
@@ -1001,8 +1003,8 @@ def _roll_cells_t(a, spec: GridSpec, shift):
 
 def _pallas_half_pair_force(
     energy_force_fn, dense: State, jb: JBlocks, spec: GridSpec,
-    tables: dict, r_cut_table, mode: str = "none", want: str = "force",
-    interpret: bool = False,
+    tables: dict, r_cut_table, r_on_table=None, mode: str = "none",
+    want: str = "force", interpret: bool = False,
 ):
     """Half-stencil maskless pair force via the Pallas kernel (T <= 2).
 
@@ -1030,21 +1032,33 @@ def _pallas_half_pair_force(
     keys = sorted(tables)
     nk = len(keys)
     rcutsq_t = r_cut_table * r_cut_table
-    need_ecut = want == "all" and mode == "shift"
+    need_ecut = (want == "all" and mode == "shift") or mode == "xplor"
+    need_ron = mode == "xplor"
     if need_ecut:
         ecut_t, _ = energy_force_fn(
             jnp.where(rcutsq_t > 0, rcutsq_t, 4.0), rcutsq_t, tables
         )
+    if need_ron:
+        ronsq_t = r_on_table * r_on_table
 
     if T == 1:
         scalars = [tables[k].reshape(()) for k in keys] + [rcutsq_t.reshape(())]
         if need_ecut:
             scalars.append(ecut_t.reshape(()))
+        if need_ron:
+            scalars.append(ronsq_t.reshape(()))
         extra_i = extra_j = ()
 
         def unpack(svals, ei, ej):
             p = dict(zip(keys, svals))
-            return p, svals[nk], (svals[nk + 1] if need_ecut else None)
+            o = nk + 1
+            ec = ron = None
+            if need_ecut:
+                ec = svals[o]
+                o += 1
+            if need_ron:
+                ron = svals[o]
+            return p, svals[nk], ec, ron
     else:
         # bilinear coefficients: tab(ti, tj) = c0 + c1 ti + c2 tj + c3 ti tj
         def coeffs(t):
@@ -1062,6 +1076,8 @@ def _pallas_half_pair_force(
         scalars += coeffs(rcutsq_t)
         if need_ecut:
             scalars += coeffs(ecut_t)
+        if need_ron:
+            scalars += coeffs(ronsq_t)
 
         def unpack(svals, ei, ej):
             ti, tj = ei[0], ej[0]
@@ -1077,37 +1093,45 @@ def _pallas_half_pair_force(
 
             p = {k: P(4 * i) for i, k in enumerate(keys)}
             rcs = P(4 * nk)
-            ec = P(4 * nk + 4) if need_ecut else None
-            return p, rcs, ec
+            o = 4 * nk + 4
+            ec = ron = None
+            if need_ecut:
+                ec = P(o)
+                o += 4
+            if need_ron:
+                ron = P(o)
+            return p, rcs, ec, ron
 
     fast = getattr(energy_force_fn, "pallas_force_divr", None)
-    if want == "force" and fast is not None:
+    if want == "force" and fast is not None and mode != "xplor":
         recip = (lambda x: 1.0 / x) if interpret else PP.approx_recip
 
         def eval_f(dx, dy, dz, rsq, ei, ej, svals):
-            p, rcs, _ = unpack(svals, ei, ej)
+            p, rcs, _, _ = unpack(svals, ei, ej)
             f = jnp.where(rsq < rcs, fast(rsq, p, recip), 0.0)
             fx, fy, fz = f * dx, f * dy, f * dz
             return [fx, fy, fz], [-fx, -fy, -fz]
-    elif want == "force":
-
-        def eval_f(dx, dy, dz, rsq, ei, ej, svals):
-            p, rcs, _ = unpack(svals, ei, ej)
-            _, f = energy_force_fn(rsq, rcs, p)
-            f = jnp.where(rsq < rcs, f, 0.0)
-            fx, fy, fz = f * dx, f * dy, f * dz
-            return [fx, fy, fz], [-fx, -fy, -fz]
     else:
+        from .pair_force import _xplor_smooth
 
         def eval_f(dx, dy, dz, rsq, ei, ej, svals):
-            p, rcs, ec = unpack(svals, ei, ej)
+            p, rcs, ec, ronsq = unpack(svals, ei, ej)
             e, f = energy_force_fn(rsq, rcs, p)
-            if ec is not None:
+            if mode == "xplor":
+                # smooth when r_on < rcut, plain energy shift otherwise
+                # (HOOMD xplor semantics, see _eval_pair_mode)
+                smooth = ronsq < rcs
+                e_s, f_s = _xplor_smooth(e, f, rsq, rcs, ronsq)
+                e = jnp.where(smooth, e_s, e - ec)
+                f = jnp.where(smooth, f_s, f)
+            elif ec is not None:
                 e = e - ec
             inside = rsq < rcs
-            e = jnp.where(inside, e, 0.0)
             f = jnp.where(inside, f, 0.0)
             fx, fy, fz = f * dx, f * dy, f * dz
+            if want == "force":
+                return [fx, fy, fz], [-fx, -fy, -fz]
+            e = jnp.where(inside, e, 0.0)
             w = 0.5 * f
             he = 0.5 * e
             vir = [w * dx * dx, w * dx * dy, w * dx * dz,

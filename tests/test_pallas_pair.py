@@ -170,6 +170,35 @@ def test_pallas_two_types_bilinear(monkeypatch, want):
         )
 
 
+@pytest.mark.parametrize("r_on", [1.0, 2.0])
+def test_pallas_xplor_matches_xla(monkeypatch, r_on):
+    """xplor smoothing inside the kernel closure, both regimes:
+    r_on < r_cut (smoothed) and r_on >= r_cut (plain shift fallback)."""
+    dense, spec = _dense_system()
+    tables, r_cut = _plj_tables()
+    r_on_t = jnp.full((1, 1), r_on, jnp.float32)
+    ef = PAIR_POTENTIALS["PerturbedLennardJones"].energy_force
+
+    def run():
+        jb = D.make_jblocks(dense, spec, half=True, need_typeid=False)
+        return D.dense_pair_force(
+            ef, dense, jb, spec, tables, r_cut, r_on_table=r_on_t,
+            mode="xplor", want="all", masked=False,
+        )
+
+    monkeypatch.setenv("AZTPU_PALLAS", "0")
+    ref = run()
+    monkeypatch.setenv("AZTPU_PALLAS", "1")
+    got = run()
+    for field in ("force", "energy", "virial"):
+        r = np.asarray(getattr(ref, field))
+        g = np.asarray(getattr(got, field))
+        scale = max(np.abs(r).max(), 1.0)
+        np.testing.assert_allclose(
+            g, r, atol=3e-5 * scale, rtol=3e-5, err_msg=field
+        )
+
+
 def test_pallas_dpd_matches_xla(monkeypatch):
     """DPD with the Threefry traced into the kernel: noise keyed on sorted
     tags is bitwise identical pair-by-pair, so forces match the XLA half
