@@ -13,10 +13,14 @@ suite deterministically runs on 8 virtual CPU devices.
 import os
 
 os.environ["JAX_PLATFORMS"] = "cpu"
+# AZTPU_TEST_DEVICES mirrors the reference's serial-vs-MPI CI axis: the
+# same suite runs on 1 or 8 virtual devices (multi-device tests skip
+# themselves when fewer than they need are present)
+_ndev = os.environ.get("AZTPU_TEST_DEVICES", "8")
 flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in flags:
     os.environ["XLA_FLAGS"] = (
-        flags + " --xla_force_host_platform_device_count=8"
+        flags + f" --xla_force_host_platform_device_count={_ndev}"
     ).strip()
 
 import jax  # noqa: E402

@@ -9,8 +9,14 @@ bitwise identical under any sharding.
 import jax
 import jax.numpy as jnp
 import numpy as np
+import pytest
 
 import azplugins_tpu as az
+
+pytestmark = pytest.mark.skipif(
+    jax.device_count() < 8, reason="needs the 8-device CPU mesh"
+)
+
 from azplugins_tpu.parallel import make_mesh, shard_state
 
 

@@ -13,6 +13,11 @@ import numpy as np
 import pytest
 
 import azplugins_tpu as az
+
+pytestmark = pytest.mark.skipif(
+    jax.device_count() < 8, reason="needs the 8-device CPU mesh"
+)
+
 from azplugins_tpu.core.state import state_from_snapshot
 from azplugins_tpu.ops import dense as D
 from azplugins_tpu.parallel import make_mesh, shard_state
