@@ -1,0 +1,147 @@
+"""One-session compiled validation of every Pallas path (run after the
+relay returns): force/all/xplor/two-type/DPD/aniso vs the XLA reference
+paths at production-like shapes, then a short verify drive."""
+
+import os
+import sys
+import time
+
+sys.path.insert(0, "/root/repo")
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+import azplugins_tpu as az
+from azplugins_tpu.core.state import state_from_snapshot
+from azplugins_tpu.ops import dense as D
+from azplugins_tpu.ops.evaluators.pair import PAIR_POTENTIALS
+from azplugins_tpu.ops.evaluators.aniso import ANISO_PAIR_POTENTIALS
+
+
+def build(N_side=24, rho=0.85, types=1, orient=False, vel=False, seed=5):
+    N = N_side**3
+    L = (N / rho) ** (1 / 3)
+    a = L / N_side
+    snap = az.Snapshot(N=N)
+    snap.configuration.box = [L, L, L, 0, 0, 0]
+    snap.particles.types = ["A", "B"][:types]
+    x = (np.arange(N_side) + 0.5) * a - L / 2
+    pos = np.stack(np.meshgrid(x, x, x, indexing="ij"), -1).reshape(-1, 3)
+    rng = np.random.default_rng(seed)
+    snap.particles.position[:] = pos + rng.normal(0, 0.05, pos.shape)
+    if types > 1:
+        snap.particles.typeid[:] = rng.integers(0, types, N)
+    state, _, _ = state_from_snapshot(snap)
+    if vel:
+        state = state.replace(
+            velocity=jnp.asarray(rng.normal(0, 1, (N, 3)), jnp.float32))
+    if orient:
+        q = rng.normal(size=(N, 4))
+        q /= np.linalg.norm(q, axis=1, keepdims=True)
+        state = state.replace(orientation=jnp.asarray(q, jnp.float32))
+    spec = D.GridSpec.create(state.box, N, r_cut=3.0, buffer=0.4)
+    occ = az.Simulation._max_occupancy_cap(state, spec)
+    if occ > spec.cap:
+        spec = spec.replace(cap=occ)
+    dense, meta = D.densify(state, spec)
+    assert not bool(meta.overflow)
+    return dense, spec
+
+
+def cmp(tag, ref, got, fields, tol=1e-3):
+    for f in fields:
+        r = np.asarray(getattr(ref, f)); g = np.asarray(getattr(got, f))
+        scale = max(np.abs(r).max(), 1.0)
+        err = np.abs(g - r).max() / scale
+        print(f"[{tag}] {f}: rel {err:.2e}", flush=True)
+        assert err < tol, (tag, f, err)
+
+
+def run_pair(dense, spec, tables, r_cut, mode, want, T):
+    ef = PAIR_POTENTIALS["PerturbedLennardJones"].energy_force
+    jb = D.make_jblocks(dense, spec, half=True, need_typeid=(T > 1))
+    r_on = jnp.full((T, T), 2.0, jnp.float32)
+    return D.dense_pair_force(ef, dense, jb, spec, tables, r_cut,
+                              r_on_table=r_on, mode=mode, want=want,
+                              masked=False)
+
+
+def main():
+    prec = PAIR_POTENTIALS["PerturbedLennardJones"].precompute(
+        dict(epsilon=1.0, sigma=1.0, attraction_scale_factor=0.5))
+    t1 = {k: jnp.full((1, 1), float(v), jnp.float32) for k, v in prec.items()}
+    rc1 = jnp.full((1, 1), 3.0, jnp.float32)
+
+    dense, spec = build()
+    for mode, want, fields in [
+        ("none", "force", ("force",)),
+        ("shift", "all", ("force", "energy", "virial")),
+        ("xplor", "all", ("force", "energy", "virial")),
+    ]:
+        os.environ["AZTPU_PALLAS"] = "0"
+        ref = jax.block_until_ready(run_pair(dense, spec, t1, rc1, mode, want, 1))
+        os.environ["AZTPU_PALLAS"] = "1"
+        got = jax.block_until_ready(run_pair(dense, spec, t1, rc1, mode, want, 1))
+        cmp(f"pair {mode}/{want}", ref, got, fields)
+
+    # two types
+    dense2, spec2 = build(types=2, seed=7)
+    prec2 = PAIR_POTENTIALS["PerturbedLennardJones"].precompute(
+        dict(epsilon=0.6, sigma=1.1, attraction_scale_factor=0.8))
+    t2 = {k: jnp.asarray([[float(prec[k]), float(prec2[k])],
+                          [float(prec2[k]), float(prec[k])]], jnp.float32)
+          for k in prec}
+    rc2 = jnp.asarray([[3.0, 2.5], [2.5, 3.0]], jnp.float32)
+    os.environ["AZTPU_PALLAS"] = "0"
+    ref = jax.block_until_ready(run_pair(dense2, spec2, t2, rc2, "shift", "all", 2))
+    os.environ["AZTPU_PALLAS"] = "1"
+    got = jax.block_until_ready(run_pair(dense2, spec2, t2, rc2, "shift", "all", 2))
+    cmp("pair 2type", ref, got, ("force", "energy", "virial"))
+
+    # DPD
+    dd, ds = build(vel=True, seed=9)
+    tdpd = {"A": jnp.full((1, 1), 25.0, jnp.float32),
+            "gamma": jnp.full((1, 1), 4.5, jnp.float32),
+            "s": jnp.full((1, 1), 0.5, jnp.float32)}
+    rcd = jnp.full((1, 1), 1.0, jnp.float32)
+
+    def run_dpd():
+        jb = D.make_jblocks(dd, ds, need_velocity=True, need_tag=True,
+                            half=True, need_typeid=False)
+        return D.dense_dpd_force(dd, jb, ds, tdpd, rcd, kT=1.0, dt=0.01,
+                                 seed=3, timestep=jnp.int32(50),
+                                 want="force", masked=False)
+
+    os.environ["AZTPU_PALLAS"] = "0"
+    ref = jax.block_until_ready(run_dpd())
+    os.environ["AZTPU_PALLAS"] = "1"
+    got = jax.block_until_ready(run_dpd())
+    cmp("dpd", ref, got, ("force",))
+
+    # aniso
+    da, sa = build(orient=True, seed=11)
+    preca = ANISO_PAIR_POTENTIALS["TwoPatchMorse"].precompute(
+        dict(M_d=1.5, M_r=0.2, r_eq=1.0, omega=15.0, alpha=0.5, repulsion=True))
+    ta = {k: jnp.full((1, 1), float(v), jnp.float32) for k, v in preca.items()}
+    rca = jnp.full((1, 1), 1.6, jnp.float32)
+    efa = ANISO_PAIR_POTENTIALS["TwoPatchMorse"].energy_force_torque
+
+    def run_aniso():
+        jb = D.make_jblocks(da, sa, need_quat=True, half=True,
+                            need_typeid=False)
+        return D.dense_aniso_force(efa, da, jb, sa, ta, rca, mode="shift",
+                                   want="force", masked=False)
+
+    os.environ["AZTPU_PALLAS"] = "0"
+    ref = jax.block_until_ready(run_aniso())
+    os.environ["AZTPU_PALLAS"] = "1"
+    got = jax.block_until_ready(run_aniso())
+    cmp("aniso", ref, got, ("force", "torque"))
+    print("TPU BURST CHECK OK", flush=True)
+
+
+if __name__ == "__main__":
+    t0 = time.time()
+    main()
+    print(f"total {time.time()-t0:.0f}s")
