@@ -31,7 +31,6 @@ from __future__ import annotations
 
 import jax
 import jax.numpy as jnp
-import numpy as np
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 from ..core.state import State
@@ -67,7 +66,7 @@ def spatial_rebin(
     Returns (dense, meta) with the identical slot layout the global rebin
     would produce.
     """
-    n = int(np.prod([mesh.shape[a] for a in (axis,)]))
+    n = int(mesh.shape[axis])
     Dx, Dy, Dz = spec.dims
     if Dx % n != 0:
         raise ValueError(f"Dx={Dx} must be divisible by the mesh size {n}")
