@@ -15,7 +15,6 @@ from __future__ import annotations
 
 import sys
 
-import numpy as np
 
 from .io import TrajectoryWriter, snapshot_to_chunks
 from .md.trigger import Periodic, Trigger, as_trigger
