@@ -78,3 +78,26 @@ def test_dpd_conservative_energy_matches(two_particle_snapshot_factory, simulati
     sim.operations.integrator = integ
     sim.run(0)
     numpy.testing.assert_allclose(dpd.forces[1][0], 2.0 * (1 - 0.5), rtol=1e-5)
+
+
+def test_dpd_conserves_momentum(simulation_factory, lattice_snapshot_factory):
+    """DPD's defining property: drag + random forces are pairwise
+    antisymmetric (Newton), so total momentum is conserved exactly
+    even though the thermostat injects energy (reference
+    DPDPairEvaluatorGeneralWeight.h:198-255). Catches any asymmetry in
+    the half-stencil / kernel stochastic force scatter."""
+    import numpy as np
+
+    sim = simulation_factory(lattice_snapshot_factory(n=8, a=0.9))
+    dpd = az.pair.DPDGeneralWeight(
+        nlist=az.md.nlist.Cell(buffer=0.4), kT=1.0, default_r_cut=1.0
+    )
+    dpd.params[("A", "A")] = dict(A=25.0, gamma=4.5, s=0.5)
+    sim.operations.integrator = az.md.Integrator(
+        dt=0.01, methods=[az.md.methods.ConstantVolume()], forces=[dpd]
+    )
+    sim.run(200)
+    snap = sim.state.get_snapshot()
+    p = (snap.particles.velocity * snap.particles.mass[:, None]).sum(axis=0)
+    v_scale = np.abs(snap.particles.velocity).max()
+    assert np.abs(p).max() < 5e-3 * v_scale * snap.particles.N ** 0.5
