@@ -58,6 +58,17 @@ def snapshot_to_chunks(snapshot: Snapshot, dynamic_only: bool = False) -> dict:
                 "bonds/types": _encode_types(snapshot.bonds.types),
             }
         )
+        mpcd = getattr(snapshot, "mpcd", None)
+        if mpcd is not None and mpcd.N > 0:
+            chunks.update(
+                {
+                    "mpcd/position": np.asarray(mpcd.position, np.float32),
+                    "mpcd/velocity": np.asarray(mpcd.velocity, np.float32),
+                    "mpcd/typeid": np.asarray(mpcd.typeid, np.int32),
+                    "mpcd/mass": np.asarray([mpcd.mass], np.float32),
+                    "mpcd/types": _encode_types(mpcd.types),
+                }
+            )
     return chunks
 
 
@@ -102,6 +113,13 @@ def chunks_to_snapshot(chunks: dict, template: Snapshot | None = None) -> Snapsh
             snap.bonds.group[:] = bonds
             snap.bonds.typeid[:] = chunks["bonds/typeid"]
         snap.bonds.types = _decode_types(chunks.get("bonds/types", np.zeros(0)))
+        if "mpcd/position" in chunks:
+            snap.mpcd.resize(chunks["mpcd/position"].shape[0])
+            snap.mpcd.position[:] = chunks["mpcd/position"]
+            snap.mpcd.velocity[:] = chunks["mpcd/velocity"]
+            snap.mpcd.typeid[:] = chunks["mpcd/typeid"]
+            snap.mpcd.mass = float(chunks["mpcd/mass"][0])
+            snap.mpcd.types = _decode_types(chunks["mpcd/types"])
     return snap
 
 

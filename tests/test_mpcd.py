@@ -93,6 +93,21 @@ def test_mpcd_requires_snapshot_block():
         sim.run(0)
 
 
+def test_mpcd_checkpoint_roundtrip(tmp_path):
+    from azplugins_tpu.io import load_checkpoint, save_checkpoint
+
+    sim = _sim_with_mpcd()
+    sim.run(0)
+    path = str(tmp_path / "ckpt.azt")
+    save_checkpoint(sim, path)
+    snap, ts = load_checkpoint(path)
+    assert snap.mpcd.N == 3
+    numpy.testing.assert_allclose(
+        snap.mpcd.position, [[-2, 0, 0], [2, 2, 0], [0, -3, 1]]
+    )
+    assert snap.mpcd.mass == 0.5
+
+
 def test_mpcd_snapshot_roundtrip():
     sim = _sim_with_mpcd()
     sim.run(0)
