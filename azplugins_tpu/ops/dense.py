@@ -1188,7 +1188,7 @@ def _pallas_half_dpd_force(
     dense: State, jb: JBlocks, spec: GridSpec, tables: dict, r_cut_table,
     kT, dt, seed: int, timestep, interpret: bool = False,
 ):
-    """Single-type maskless DPD force via the Pallas stencil kernel.
+    """Maskless DPD force via the Pallas stencil kernel (T <= 2).
 
     The full DPD triple — conservative, drag, and the pair-symmetric
     random force — evaluated once per unordered pair with the Threefry
@@ -1208,32 +1208,55 @@ def _pallas_half_dpd_force(
     n_seg = len(offsets) + 1
     cap_pad = PP.pad_cap(cap)
 
+    T = r_cut_table.shape[0]
     kT_f = jnp.float32(kT)
     dt_f = jnp.float32(dt)
-    sigma = jnp.where(
+    sigma_t = jnp.where(
         dt_f > 0,
-        jnp.sqrt(6.0 * tables["gamma"].reshape(()) * kT_f / jnp.maximum(dt_f, 1e-20)),
+        jnp.sqrt(6.0 * tables["gamma"] * kT_f / jnp.maximum(dt_f, 1e-20)),
         0.0,
     )
     t_u = jnp.asarray(timestep, jnp.uint32)
     k1_hi = (t_u >> jnp.uint32(16)).astype(jnp.float32)
     k1_lo = (t_u & jnp.uint32(0xFFFF)).astype(jnp.float32)
     k0 = float((int(_rng.Stream.DPD_GENERAL_WEIGHT) << 16) ^ (int(seed) & 0xFFFF))
-    scalars = [
-        tables["A"].reshape(()),
-        tables["gamma"].reshape(()),
-        tables["s"].reshape(()),
-        r_cut_table.reshape(()),
-        sigma,
-        jnp.float32(k0),
-        k1_hi,
-        k1_lo,
-    ]
+    ptabs = [tables["A"], tables["gamma"], tables["s"], r_cut_table, sigma_t]
+    if T == 1:
+        scalars = [t.reshape(()) for t in ptabs]
+
+        def params_of(svals, ei, ej):
+            return svals[:5]
+    else:
+        # exact bilinear interpolation over (typeid_i, typeid_j), see
+        # _pallas_half_pair_force
+        def coeffs(t):
+            t = t.astype(jnp.float32)
+            return [
+                t[0, 0].reshape(()),
+                (t[1, 0] - t[0, 0]).reshape(()),
+                (t[0, 1] - t[0, 0]).reshape(()),
+                (t[1, 1] - t[1, 0] - t[0, 1] + t[0, 0]).reshape(()),
+            ]
+
+        scalars = []
+        for t in ptabs:
+            scalars += coeffs(t)
+
+        def params_of(svals, ei, ej):
+            ti, tj = ei[4], ej[4]
+            tij = ti * tj
+            return [
+                svals[o] + svals[o + 1] * ti + svals[o + 2] * tj
+                + svals[o + 3] * tij
+                for o in range(0, 20, 4)
+            ]
+    scalars += [jnp.float32(k0), k1_hi, k1_lo]
 
     def eval_f(dx, dy, dz, rsq, ei, ej, svals):
-        vxi, vyi, vzi, tgi = ei
-        vxj, vyj, vzj, tgj = ej
-        A, gamma, s_exp, rcut, sig, k0f, hi16, lo16 = svals
+        vxi, vyi, vzi, tgi = ei[:4]
+        vxj, vyj, vzj, tgj = ej[:4]
+        A, gamma, s_exp, rcut, sig = params_of(svals, ei, ej)
+        k0f, hi16, lo16 = svals[-3:]
         rcutsq = rcut * rcut
         inside = rsq < rcutsq
         rsq_safe = jnp.where(inside, rsq, 1.0)
@@ -1270,10 +1293,15 @@ def _pallas_half_dpd_force(
     ]
     vts = [dense.velocity[:, k].reshape(C, cap).T for k in range(3)]
     tag_f = dense.tag.astype(jnp.float32).reshape(C, cap).T
-    extra_i = (*vts, tag_f)
+    planes = [*vts, tag_f]
+    fills_e = [0.0, 0.0, 0.0, -1.0]
+    if T > 1:
+        planes.append(dense.typeid.astype(jnp.float32).reshape(C, cap).T)
+        fills_e.append(-1.0)
+    extra_i = tuple(planes)
     extra_j = tuple(
         _stencil_rows_t(v, spec, offsets, None, cap_pad=cap_pad, fill=fv)
-        for v, fv in zip((*vts, tag_f), (0.0, 0.0, 0.0, -1.0))
+        for v, fv in zip(planes, fills_e)
     )
     counts = _cell_counts(dense, spec)
     stc = _stencil_counts(counts, spec, offsets)
@@ -1419,12 +1447,12 @@ def dense_dpd_force(
     # Newton half-stencil: evaluate each unordered pair once, scatter the
     # force to both members (j side in the rolled frame, un-rolled after)
     #
-    # Hot case (force-only, maskless, one type): Pallas kernel with the
+    # Hot case (force-only, maskless, <= 2 types): Pallas kernel with the
     # per-pair Threefry traced into the Mosaic body (SURVEY §7 hard part
     # #3 — the RNG is the dominant per-pair cost and runs on the VPU's
     # integer lanes). Tags must be f32-exact (< 2^24).
     if (
-        want == "force" and not masked and T == 1 and spec.cap % 8 == 0
+        want == "force" and not masked and T <= 2 and spec.cap % 8 == 0
         and dense.N < (1 << 24)
     ):
         from . import pallas_pair as PP

@@ -283,6 +283,51 @@ def test_pallas_aniso_matches_xla(monkeypatch, mode):
         )
 
 
+def test_pallas_dpd_two_types(monkeypatch):
+    """Two-type DPD mixture through the kernel: bilinear A/gamma/s/rcut/
+    sigma tables plus in-kernel Threefry."""
+    rng = np.random.default_rng(23)
+    N, L = 500, 12.0
+    snap = az.Snapshot(N=N)
+    snap.configuration.box = [L, L, L, 0, 0, 0]
+    snap.particles.types = ["A", "B"]
+    snap.particles.typeid[:] = rng.integers(0, 2, N)
+    snap.particles.position[:] = (rng.random((N, 3)) - 0.5) * L
+    state, _, _ = state_from_snapshot(snap)
+    state = state.replace(
+        velocity=jnp.asarray(rng.normal(0, 1, (N, 3)), jnp.float32)
+    )
+    spec = D.GridSpec.create(state.box, N, r_cut=1.5, buffer=0.3)
+    dense, meta = D.densify(state, spec)
+    assert not bool(meta.overflow)
+    tables = {
+        "A": jnp.asarray([[25.0, 40.0], [40.0, 15.0]], jnp.float32),
+        "gamma": jnp.asarray([[4.5, 3.0], [3.0, 6.0]], jnp.float32),
+        "s": jnp.asarray([[0.5, 1.0], [1.0, 2.0]], jnp.float32),
+    }
+    r_cut = jnp.asarray([[1.0, 1.2], [1.2, 1.4]], jnp.float32)
+
+    def run():
+        jb = D.make_jblocks(
+            dense, spec, need_velocity=True, need_tag=True, half=True,
+            need_typeid=True,
+        )
+        return D.dense_dpd_force(
+            dense, jb, spec, tables, r_cut, kT=1.0, dt=0.01, seed=9,
+            timestep=jnp.int32(123), want="force", masked=False,
+        )
+
+    monkeypatch.setenv("AZTPU_PALLAS", "0")
+    ref = run()
+    monkeypatch.setenv("AZTPU_PALLAS", "1")
+    got = run()
+    f_ref = np.asarray(ref.force)
+    scale = max(np.abs(f_ref).max(), 1.0)
+    np.testing.assert_allclose(
+        np.asarray(got.force), f_ref, atol=5e-5 * scale, rtol=5e-5
+    )
+
+
 def test_pallas_cell_block_256(monkeypatch):
     """The 256-lane block width (the 64k production choice) on a small
     grid: C=216 pads to one 256-lane block, exercising the wide-bounds
