@@ -839,17 +839,19 @@ def dense_pair_force(
     # force/energy/virial are scattered to both members (the j side in the
     # rolled frame, un-rolled with the positive offset after the scan).
     #
-    # Hot case (maskless sentinels, <= 2 particle types): hand off to the
-    # Pallas kernel, which evaluates both Newton sides in one
-    # VMEM-resident pass (ops/pallas_pair.py); two-type parameters enter
-    # as an exact bilinear interpolation over typeids. want="all" adds
-    # energy + virial outputs (the observable pull path); xplor smoothing
-    # is applied inside the evaluator closure.
+    # Hot case (<= 2 particle types): hand off to the Pallas kernel,
+    # which evaluates both Newton sides in one VMEM-resident pass
+    # (ops/pallas_pair.py); two-type parameters enter as an exact
+    # bilinear interpolation over typeids. want="all" adds energy +
+    # virial outputs (the observable pull path); xplor smoothing is
+    # applied inside the evaluator closure. Masked (tilted-box) grids
+    # carry validity planes — the stencil shifts themselves are already
+    # triclinic-aware (_axis_shift_tables).
     # cap % 8: the kernel's j-subtile height must divide every J segment
     # (segments are multiples of cap_pad); odd caps take the XLA path
     if (
-        want in ("force", "all") and not masked and T <= 2
-        and spec.cap % 8 == 0
+        want in ("force", "all") and T <= 2 and spec.cap % 8 == 0
+        and jb.preshifted
     ):
         from . import pallas_pair as PP
 
@@ -857,7 +859,7 @@ def dense_pair_force(
         if pmode is not None:
             return _pallas_half_pair_force(
                 energy_force_fn, dense, jb, spec, tables, r_cut_table,
-                r_on_table=r_on_table, mode=mode, want=want,
+                r_on_table=r_on_table, mode=mode, want=want, masked=masked,
                 interpret=(pmode == "interpret"),
             )
     C, cap = spec.n_cells, spec.cap
@@ -1004,7 +1006,7 @@ def _roll_cells_t(a, spec: GridSpec, shift):
 def _pallas_half_pair_force(
     energy_force_fn, dense: State, jb: JBlocks, spec: GridSpec,
     tables: dict, r_cut_table, r_on_table=None, mode: str = "none",
-    want: str = "force", interpret: bool = False,
+    want: str = "force", masked: bool = False, interpret: bool = False,
 ):
     """Half-stencil maskless pair force via the Pallas kernel (T <= 2).
 
@@ -1102,11 +1104,24 @@ def _pallas_half_pair_force(
                 ron = P(o)
             return p, rcs, ec, ron
 
+    # masked (tilted) grids: validity plane after the typeid plane. It is
+    # folded into rsq BEFORE the evaluator (invalid pairs see a far
+    # distance): this kills the one case sentinels cannot (empty-empty
+    # false pairs when tilt shifts exceed the sentinel spacing) without
+    # an inf * 0 hazard from evaluating at a false near-zero separation.
+    iv = 1 if T > 1 else 0
+
+    def mask_rsq(rsq, ei, ej):
+        if not masked:
+            return rsq
+        return jnp.where(ei[iv] * ej[iv] > 0.5, rsq, jnp.float32(1.0e30))
+
     fast = getattr(energy_force_fn, "pallas_force_divr", None)
     if want == "force" and fast is not None and mode != "xplor":
         recip = (lambda x: 1.0 / x) if interpret else PP.approx_recip
 
         def eval_f(dx, dy, dz, rsq, ei, ej, svals):
+            rsq = mask_rsq(rsq, ei, ej)
             p, rcs, _, _ = unpack(svals, ei, ej)
             f = jnp.where(rsq < rcs, fast(rsq, p, recip), 0.0)
             fx, fy, fz = f * dx, f * dy, f * dz
@@ -1115,6 +1130,7 @@ def _pallas_half_pair_force(
         from .pair_force import _xplor_smooth
 
         def eval_f(dx, dy, dz, rsq, ei, ej, svals):
+            rsq = mask_rsq(rsq, ei, ej)
             p, rcs, ec, ronsq = unpack(svals, ei, ej)
             e, f = energy_force_fn(rsq, rcs, p)
             if mode == "xplor":
@@ -1145,12 +1161,21 @@ def _pallas_half_pair_force(
         _stencil_rows_t(c, spec, offsets, s, cap_pad=cap_pad, fill=f)
         for c, s, f in zip(its, shifts, fills)
     ]
+    planes = []
+    fills_e = []
     if T > 1:
-        t_f = dense.typeid.astype(jnp.float32).reshape(C, cap).T
-        extra_i = (t_f,)
-        extra_j = (
-            _stencil_rows_t(t_f, spec, offsets, None, cap_pad=cap_pad, fill=-1.0),
+        planes.append(dense.typeid.astype(jnp.float32).reshape(C, cap).T)
+        fills_e.append(-1.0)
+    if masked:
+        planes.append(
+            (dense.tag >= 0).astype(jnp.float32).reshape(C, cap).T
         )
+        fills_e.append(0.0)
+    extra_i = tuple(planes)
+    extra_j = tuple(
+        _stencil_rows_t(v, spec, offsets, None, cap_pad=cap_pad, fill=fv)
+        for v, fv in zip(planes, fills_e)
+    )
     counts = _cell_counts(dense, spec)
     stc = _stencil_counts(counts, spec, offsets)
     # 256-lane blocks measured ~10% faster than 128 at the 64k shapes

@@ -328,6 +328,51 @@ def test_pallas_dpd_two_types(monkeypatch):
     )
 
 
+@pytest.mark.parametrize("want", ["force", "all"])
+def test_pallas_masked_tilted_box(monkeypatch, want):
+    """Tilted-box (masked) grids through the kernel: triclinic pre-shifted
+    stencil + validity planes folded into rsq."""
+    rng = np.random.default_rng(29)
+    N = 400
+    L = (12.0, 11.5, 12.5)
+    tilt = (0.3, -0.1, 0.2)
+    snap = az.Snapshot(N=N)
+    snap.configuration.box = list(L) + list(tilt)
+    snap.particles.types = ["A"]
+    frac = rng.random((N, 3)) - 0.5
+    x = frac[:, 0] * L[0] + frac[:, 1] * tilt[0] * L[1] + frac[:, 2] * tilt[1] * L[2]
+    y = frac[:, 1] * L[1] + frac[:, 2] * tilt[2] * L[2]
+    z = frac[:, 2] * L[2]
+    snap.particles.position[:] = np.stack([x, y, z], axis=1)
+    state, _, _ = state_from_snapshot(snap)
+    spec = D.GridSpec.create(state.box, N, r_cut=1.5, buffer=0.3)
+    assert spec.newton_ok
+    dense, meta = D.densify(state, spec)
+    assert not bool(meta.overflow)
+    tables, r_cut = _plj_tables()
+    ef = PAIR_POTENTIALS["PerturbedLennardJones"].energy_force
+
+    def run():
+        jb = D.make_jblocks(dense, spec, half=True, need_typeid=True)
+        return D.dense_pair_force(
+            ef, dense, jb, spec, tables, r_cut,
+            mode="shift", want=want, masked=True,
+        )
+
+    monkeypatch.setenv("AZTPU_PALLAS", "0")
+    ref = run()
+    monkeypatch.setenv("AZTPU_PALLAS", "1")
+    got = run()
+    fields = ("force",) if want == "force" else ("force", "energy", "virial")
+    for field in fields:
+        r = np.asarray(getattr(ref, field))
+        g = np.asarray(getattr(got, field))
+        scale = max(np.abs(r).max(), 1.0)
+        np.testing.assert_allclose(
+            g, r, atol=3e-5 * scale, rtol=3e-5, err_msg=field
+        )
+
+
 def test_pallas_cell_block_256(monkeypatch):
     """The 256-lane block width (the 64k production choice) on a small
     grid: C=216 pads to one 256-lane block, exercising the wide-bounds
