@@ -99,6 +99,38 @@ def main():
     got = jax.block_until_ready(run_pair(dense2, spec2, t2, rc2, "shift", "all", 2))
     cmp("pair 2type", ref, got, ("force", "energy", "virial"))
 
+    # masked (tilted box)
+    rng = np.random.default_rng(3)
+    Nt = 20**3
+    Lt = (Nt / 0.85) ** (1 / 3)
+    snapt = az.Snapshot(N=Nt)
+    snapt.configuration.box = [Lt, Lt, Lt, 0.25, -0.1, 0.15]
+    snapt.particles.types = ["A"]
+    frac = rng.random((Nt, 3)) - 0.5
+    xt = frac[:, 0] * Lt + frac[:, 1] * 0.25 * Lt + frac[:, 2] * (-0.1) * Lt
+    yt = frac[:, 1] * Lt + frac[:, 2] * 0.15 * Lt
+    zt = frac[:, 2] * Lt
+    statet, _, _ = state_from_snapshot(snapt)
+    statet = statet.replace(
+        position=jnp.asarray(np.stack([xt, yt, zt], 1), jnp.float32))
+    spect = D.GridSpec.create(statet.box, Nt, r_cut=3.0, buffer=0.4)
+    occt = az.Simulation._max_occupancy_cap(statet, spect)
+    if occt > spect.cap:
+        spect = spect.replace(cap=occt)
+    denset, metat = D.densify(statet, spect)
+    assert not bool(metat.overflow)
+    ef = PAIR_POTENTIALS["PerturbedLennardJones"].energy_force
+
+    def run_tilted(flag):
+        os.environ["AZTPU_PALLAS"] = flag
+        jb = D.make_jblocks(denset, spect, half=True, need_typeid=True)
+        return jax.block_until_ready(D.dense_pair_force(
+            ef, denset, jb, spect, t1, rc1, mode="shift", want="all",
+            masked=True))
+
+    cmp("pair tilted", run_tilted("0"), run_tilted("1"),
+        ("force", "energy", "virial"))
+
     # DPD
     dd, ds = build(vel=True, seed=9)
     tdpd = {"A": jnp.full((1, 1), 25.0, jnp.float32),
