@@ -1211,7 +1211,8 @@ def _pallas_half_pair_force(
 
 def _pallas_half_dpd_force(
     dense: State, jb: JBlocks, spec: GridSpec, tables: dict, r_cut_table,
-    kT, dt, seed: int, timestep, interpret: bool = False,
+    kT, dt, seed: int, timestep, masked: bool = False,
+    interpret: bool = False,
 ):
     """Maskless DPD force via the Pallas stencil kernel (T <= 2).
 
@@ -1280,6 +1281,12 @@ def _pallas_half_dpd_force(
     def eval_f(dx, dy, dz, rsq, ei, ej, svals):
         vxi, vyi, vzi, tgi = ei[:4]
         vxj, vyj, vzj, tgj = ej[:4]
+        if masked:
+            # validity plane is the LAST extra; fold into rsq (see
+            # _pallas_half_pair_force)
+            rsq = jnp.where(
+                ei[-1] * ej[-1] > 0.5, rsq, jnp.float32(1.0e30)
+            )
         A, gamma, s_exp, rcut, sig = params_of(svals, ei, ej)
         k0f, hi16, lo16 = svals[-3:]
         rcutsq = rcut * rcut
@@ -1323,6 +1330,9 @@ def _pallas_half_dpd_force(
     if T > 1:
         planes.append(dense.typeid.astype(jnp.float32).reshape(C, cap).T)
         fills_e.append(-1.0)
+    if masked:
+        planes.append((dense.tag >= 0).astype(jnp.float32).reshape(C, cap).T)
+        fills_e.append(0.0)
     extra_i = tuple(planes)
     extra_j = tuple(
         _stencil_rows_t(v, spec, offsets, None, cap_pad=cap_pad, fill=fv)
@@ -1472,13 +1482,14 @@ def dense_dpd_force(
     # Newton half-stencil: evaluate each unordered pair once, scatter the
     # force to both members (j side in the rolled frame, un-rolled after)
     #
-    # Hot case (force-only, maskless, <= 2 types): Pallas kernel with the
-    # per-pair Threefry traced into the Mosaic body (SURVEY §7 hard part
-    # #3 — the RNG is the dominant per-pair cost and runs on the VPU's
-    # integer lanes). Tags must be f32-exact (< 2^24).
+    # Hot case (force-only, <= 2 types): Pallas kernel with the per-pair
+    # Threefry traced into the Mosaic body (SURVEY §7 hard part #3 — the
+    # RNG is the dominant per-pair cost and runs on the VPU's integer
+    # lanes). Tags must be f32-exact (< 2^24); masked (tilted) grids add
+    # a validity plane.
     if (
-        want == "force" and not masked and T <= 2 and spec.cap % 8 == 0
-        and dense.N < (1 << 24)
+        want == "force" and T <= 2 and spec.cap % 8 == 0
+        and dense.N < (1 << 24) and jb.preshifted
     ):
         from . import pallas_pair as PP
 
@@ -1486,7 +1497,7 @@ def dense_dpd_force(
         if pmode is not None:
             return _pallas_half_dpd_force(
                 dense, jb, spec, tables, r_cut_table, kT, dt, seed,
-                timestep, interpret=(pmode == "interpret"),
+                timestep, masked=masked, interpret=(pmode == "interpret"),
             )
     C, cap = spec.n_cells, spec.cap
     Dx, Dy, Dz = spec.dims
@@ -1574,7 +1585,8 @@ def dense_dpd_force(
 
 def _pallas_half_aniso_force(
     energy_force_torque_fn, dense: State, jb: JBlocks, spec: GridSpec,
-    tables: dict, r_cut_table, mode: str, interpret: bool = False,
+    tables: dict, r_cut_table, mode: str, masked: bool = False,
+    interpret: bool = False,
 ):
     """Single-type maskless aniso force+torque via the Pallas kernel.
 
@@ -1602,8 +1614,13 @@ def _pallas_half_aniso_force(
             for k, v in zip(keys, svals[:nk])
         }
         rcs = jnp.asarray(svals[nk], jnp.float32)
+        if masked:
+            # validity plane follows the 4 quaternion planes
+            rsq = jnp.where(
+                ei[4] * ej[4] > 0.5, rsq, jnp.float32(1.0e30)
+            )
         e, f, ti, tj = energy_force_torque_fn(
-            (dx, dy, dz), ei, ej, jnp.maximum(rcs, 1e-6), p, shift
+            (dx, dy, dz), ei[:4], ej[:4], jnp.maximum(rcs, 1e-6), p, shift
         )
         inside = rsq < rcs
         out_i, out_j = [], []
@@ -1625,7 +1642,10 @@ def _pallas_half_aniso_force(
         for c, s, f in zip(its, shifts, fills)
     ]
     qts = [dense.orientation[:, k].reshape(C, cap).T for k in range(4)]
-    qfills = (1.0, 0.0, 0.0, 0.0)
+    qfills = [1.0, 0.0, 0.0, 0.0]
+    if masked:
+        qts.append((dense.tag >= 0).astype(jnp.float32).reshape(C, cap).T)
+        qfills.append(0.0)
     extra_i = tuple(qts)
     extra_j = tuple(
         _stencil_rows_t(q, spec, offsets, None, cap_pad=cap_pad, fill=fq)
@@ -1761,11 +1781,12 @@ def dense_aniso_force(
 
     # Newton half-stencil
     #
-    # Hot case (force+torque, maskless, one type): Pallas kernel with the
-    # quaternion patch math traced into the Mosaic body
+    # Hot case (force+torque, one type): Pallas kernel with the
+    # quaternion patch math traced into the Mosaic body; masked (tilted)
+    # grids add a validity plane
     if (
-        want == "force" and not masked and T == 1
-        and mode != "xplor" and spec.cap % 8 == 0
+        want == "force" and T == 1 and mode != "xplor"
+        and spec.cap % 8 == 0 and jb.preshifted
     ):
         from . import pallas_pair as PP
 
@@ -1773,7 +1794,8 @@ def dense_aniso_force(
         if pmode is not None:
             return _pallas_half_aniso_force(
                 energy_force_torque_fn, dense, jb, spec, tables,
-                r_cut_table, mode, interpret=(pmode == "interpret"),
+                r_cut_table, mode, masked=masked,
+                interpret=(pmode == "interpret"),
             )
     C, cap = spec.n_cells, spec.cap
     Dx, Dy, Dz = spec.dims

@@ -199,7 +199,8 @@ def test_pallas_xplor_matches_xla(monkeypatch, r_on):
         )
 
 
-def test_pallas_dpd_matches_xla(monkeypatch):
+@pytest.mark.parametrize("masked", [False, True])
+def test_pallas_dpd_matches_xla(monkeypatch, masked):
     """DPD with the Threefry traced into the kernel: noise keyed on sorted
     tags is bitwise identical pair-by-pair, so forces match the XLA half
     path to summation-order rounding."""
@@ -219,11 +220,11 @@ def test_pallas_dpd_matches_xla(monkeypatch):
     def run():
         jb = D.make_jblocks(
             dense, spec, need_velocity=True, need_tag=True, half=True,
-            need_typeid=False,
+            need_typeid=masked,
         )
         return D.dense_dpd_force(
             dense, jb, spec, tables, r_cut, kT=1.2, dt=0.01, seed=11,
-            timestep=jnp.int32(77), want="force", masked=False,
+            timestep=jnp.int32(77), want="force", masked=masked,
         )
 
     monkeypatch.setenv("AZTPU_PALLAS", "0")
@@ -237,8 +238,9 @@ def test_pallas_dpd_matches_xla(monkeypatch):
     )
 
 
+@pytest.mark.parametrize("masked", [False, True])
 @pytest.mark.parametrize("mode", ["none", "shift"])
-def test_pallas_aniso_matches_xla(monkeypatch, mode):
+def test_pallas_aniso_matches_xla(monkeypatch, mode, masked):
     """TwoPatchMorse force AND per-side torques through the Pallas kernel
     (quaternions on the extra-plane channel) match the XLA half path."""
     from azplugins_tpu.ops.evaluators.aniso import ANISO_PAIR_POTENTIALS
@@ -263,11 +265,11 @@ def test_pallas_aniso_matches_xla(monkeypatch, mode):
 
     def run():
         jb = D.make_jblocks(
-            dense, spec, need_quat=True, half=True, need_typeid=False
+            dense, spec, need_quat=True, half=True, need_typeid=masked
         )
         return D.dense_aniso_force(
             ef, dense, jb, spec, tables, r_cut,
-            mode=mode, want="force", masked=False,
+            mode=mode, want="force", masked=masked,
         )
 
     monkeypatch.setenv("AZTPU_PALLAS", "0")
