@@ -168,6 +168,15 @@ class Simulation:
         # False pins the rebuild interval (violation halving still applies;
         # quantum regrowth and chunk-splitting stop) — benchmarking hook
         self._seg_adapt = True
+        # automatic post-warmup retune: at this ABSOLUTE timestep, run()
+        # performs tune_cell_capacity() (rightsizing the slot capacity and
+        # rebuild interval to the equilibrated system — the melt transient
+        # inflates both). Fixed-timestep scheduling keeps the tune a pure
+        # function of the trajectory, preserving the bitwise
+        # chunking-invariance contract (HOOMD's nlist tuning as prior
+        # art). None disables; manual tune_cell_capacity() cancels it.
+        self.auto_tune_after: int | None = 200
+        self._auto_tuned = False
         self._updater_jit: dict = {}
 
     # -- state management ------------------------------------------------
@@ -645,6 +654,7 @@ class Simulation:
         tune changes the rebuild schedule, so trajectories are
         chunking-reproducible between tunes, not across them.)
         """
+        self._auto_tuned = True  # a manual tune supersedes the scheduled one
         if self._grid_spec is None or self._state is None:
             return
         state = self._synced_state()
@@ -775,7 +785,23 @@ class Simulation:
         remaining = n_steps
         tbls = self._force_tables()
         while remaining > 0:
+            # scheduled post-warmup retune (see auto_tune_after): fires the
+            # first time the ABSOLUTE timestep reaches the threshold, so the
+            # tune point — and therefore the rebuild schedule and slot
+            # layout after it — is a pure function of the trajectory,
+            # independent of how run() calls are chunked
+            auto_pending = (
+                not self._auto_tuned and self.auto_tune_after is not None
+            )
+            if auto_pending and self._timestep >= self.auto_tune_after:
+                self.tune_cell_capacity()
+                if not self._prepared:
+                    self._prepare()
+                auto_pending = False
             chunk = min(remaining, self.max_chunk)
+            if auto_pending:
+                # split the chunk at the tune point
+                chunk = min(chunk, self.auto_tune_after - self._timestep)
             if writers:
                 # split the jitted chunk at the next writer trigger so the
                 # host syncs exactly once per fire

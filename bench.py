@@ -177,6 +177,7 @@ def main():
 
     t0 = time.perf_counter()
     sim, lj = build_sim(N_side=n_side)
+    sim.auto_tune_after = warm_steps  # run() retunes itself post-warmup
     _stage(f"built sim N={n_side**3} in {time.perf_counter()-t0:.1f}s")
     t0 = time.perf_counter()
     pallas_failed = False
@@ -189,11 +190,12 @@ def main():
         pallas_failed = True
         os.environ["AZTPU_PALLAS"] = "0"
         sim, lj = build_sim(N_side=n_side)
+        sim.auto_tune_after = warm_steps
         sim.run(warm_steps)
     _stage(f"warmup {warm_steps} steps in {time.perf_counter()-t0:.1f}s")
-    sim.tune_cell_capacity()  # shrink transient overflow growth (one recompile)
-    # settle: let the rebuild interval adapt (violation halvings + quantum
-    # regrowth) at production temperature, then FREEZE it — the timed
+    # settle: run() auto-tunes at the warmup boundary (auto_tune_after),
+    # then the rebuild interval adapts (violation halvings + quantum
+    # regrowth) at production temperature; FREEZE it afterwards — the timed
     # windows must have homogeneous per-step cost or the differential is
     # garbage (a replay inside one window made round-2's first TPS negative)
     sim.run(300)

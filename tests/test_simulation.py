@@ -104,6 +104,34 @@ def test_brownian_runs_and_moves(lattice_snapshot_factory):
     np.testing.assert_allclose(p2, lattice_snapshot_factory(n=4, a=1.5).particles.position, atol=1e-6)
 
 
+def test_auto_tune_fires_and_preserves_chunking(lattice_snapshot_factory):
+    """run() retunes itself at the absolute auto_tune_after step; the tune
+    point is chunking-invariant, so differently-chunked runs across it
+    stay bitwise identical."""
+
+    def make():
+        sim, _, _ = _lj_fluid_sim(lattice_snapshot_factory, kT=1.0, seed=3)
+        sim.auto_tune_after = 60
+        sim.state.thermalize_particle_momenta(kT=1.0)
+        return sim
+
+    sim1 = make()
+    sim1.run(100)
+    assert sim1._auto_tuned
+    sim2 = make()
+    for n in (30, 25, 45):
+        sim2.run(n)
+    assert sim2._auto_tuned
+    p1 = sim1.state.get_snapshot().particles.position
+    p2 = sim2.state.get_snapshot().particles.position
+    np.testing.assert_array_equal(p1, p2)
+    # a manual tune cancels the scheduled one
+    sim3, _, _ = _lj_fluid_sim(lattice_snapshot_factory, kT=1.0, seed=3)
+    sim3.run(0)
+    sim3.tune_cell_capacity()
+    assert sim3._auto_tuned
+
+
 def test_run_zero_then_observables(two_particle_snapshot_factory, simulation_factory):
     sim = simulation_factory(two_particle_snapshot_factory(d=1.0, L=20))
     pot = az.pair.Hertz(nlist=az.md.nlist.Cell(buffer=0.4), default_r_cut=2.0)
