@@ -115,16 +115,33 @@ class GridSpec:
         return np.asarray(keep, dtype=np.int32)
 
     @classmethod
-    def create(cls, box: Box, N: int, r_cut: float, buffer: float, safety: float = 1.18):
+    def create(cls, box: Box, N: int, r_cut: float, buffer: float,
+               safety: float = 1.18, dx_multiple: int = 1):
         """Size the grid. Pair work scales with cap^2, so the capacity is
         chosen tight: in a dense liquid, repulsion anti-correlates occupancy
         (measured max 45 at mean 37 for 64k LJ at rho=0.85), far below the
         Poisson tail. Transient overflow is handled by the transactional
         grow-and-replay in Simulation.run, so a rare miss costs one
-        recompile, not correctness."""
+        recompile, not correctness.
+
+        ``dx_multiple``: force Dx to a multiple of this (spatial slab
+        decomposition needs one or more whole x cell planes per device).
+        Rounding DOWN stays correct — fewer, wider cells still cover
+        every pair within r_list — at some extra pair-slot cost.
+        """
         npd = np.asarray(box.nearest_plane_distance())
         r_list = r_cut + buffer
         dims = tuple(int(max(1, math.floor(l / r_list))) for l in npd)
+        if dx_multiple > 1 and dims[0] % dx_multiple != 0:
+            dx = (dims[0] // dx_multiple) * dx_multiple
+            if dx < dx_multiple:
+                raise ValueError(
+                    f"cannot give each of {dx_multiple} spatial slabs a "
+                    f"whole x cell plane: the box fits only {dims[0]} "
+                    f"cells of width >= r_cut + buffer = {r_list:.3g} "
+                    "along x (use fewer devices or a larger box)"
+                )
+            dims = (dx,) + dims[1:]
         # cells are at least r_list wide, usually wider (floor); claim the
         # whole cell width as Verlet margin so rebuilds trigger as late as
         # the stencil actually allows: pairs stay covered while
@@ -657,6 +674,90 @@ def _pair_params(tables: dict, t_i, t_j, T: int):
     return out
 
 
+def _table_scalars(tabs: list, T: int):
+    """Pack per-type-pair [T, T] tables into Pallas kernel scalars.
+
+    TPU vector lanes cannot gather, so per-pair parameters are
+    reconstructed arithmetically from the f32 typeid planes. Returns
+    ``(scalars, stride, basis, unpack)``: the flat scalar list (``stride``
+    values per table), ``basis(ti, tj)`` computing the shared
+    interpolation basis once per pair batch, and ``unpack(svals, off, b)``
+    reconstructing one table's per-pair value from it.
+
+    * T == 1: raw scalars (zero per-pair cost; basis unused).
+    * T == 2: exact bilinear in (ti, tj) — 3 fma/table/pair.
+    * 3 <= T: exact one-hot contraction — the T^2 indicator products are
+      computed ONCE per pair batch and shared across every table
+      (typeids are exact small integers in f32, so ``ti == a`` is exact;
+      empty slots at -1 match nothing and reconstruct 0, which the far
+      sentinel coordinates mask anyway), then each table costs T^2
+      fma/pair. A Lagrange polynomial through the type indices would be
+      marginally cheaper but rounds (the T >= 4 Vandermonde inverse has
+      non-dyadic entries); one-hot reconstructs table entries exactly,
+      matching the XLA _pair_params contraction bitwise.
+    """
+    if T == 1:
+        scalars = [jnp.asarray(t, jnp.float32).reshape(()) for t in tabs]
+
+        def basis(ti, tj):
+            return None
+
+        def unpack(svals, off, b):
+            return svals[off]
+
+        return scalars, 1, basis, unpack
+    if T == 2:
+        scalars = []
+        for t in tabs:
+            t = jnp.asarray(t, jnp.float32)
+            scalars += [
+                t[0, 0].reshape(()),
+                (t[1, 0] - t[0, 0]).reshape(()),
+                (t[0, 1] - t[0, 0]).reshape(()),
+                (t[1, 1] - t[1, 0] - t[0, 1] + t[0, 0]).reshape(()),
+            ]
+
+        def basis(ti, tj):
+            return (ti, tj, ti * tj)
+
+        def unpack(svals, off, b):
+            ti, tj, tij = b
+            return (
+                svals[off]
+                + svals[off + 1] * ti
+                + svals[off + 2] * tj
+                + svals[off + 3] * tij
+            )
+
+        return scalars, 4, basis, unpack
+
+    scalars = []
+    for t in tabs:
+        t = jnp.asarray(t, jnp.float32)
+        scalars += [
+            t[a, c].reshape(()) for a in range(T) for c in range(T)
+        ]
+
+    def basis(ti, tj):
+        oi = [jnp.where(ti == jnp.float32(a), 1.0, 0.0) for a in range(T)]
+        oj = [jnp.where(tj == jnp.float32(c), 1.0, 0.0) for c in range(T)]
+        return [oi[a] * oj[c] for a in range(T) for c in range(T)]
+
+    def unpack(svals, off, b):
+        acc = svals[off] * b[0]
+        for k in range(1, len(b)):
+            acc = acc + svals[off + k] * b[k]
+        return acc
+
+    return scalars, T * T, basis, unpack
+
+
+# widest type count the Pallas kernels reconstruct parameters for; past
+# this the T^2-per-table one-hot cost approaches the XLA scan's and the
+# scalar channel bloats (n_tables * T^2 SMEM values)
+_PALLAS_MAX_T = 4
+
+
 def _i_views(dense: State, spec: GridSpec):
     """Per-slot i-side data reshaped to [n_cells, cap, 1]."""
     C, cap = spec.n_cells, spec.cap
@@ -839,10 +940,10 @@ def dense_pair_force(
     # force/energy/virial are scattered to both members (the j side in the
     # rolled frame, un-rolled with the positive offset after the scan).
     #
-    # Hot case (<= 2 particle types): hand off to the Pallas kernel,
+    # Hot case (<= 4 particle types): hand off to the Pallas kernel,
     # which evaluates both Newton sides in one VMEM-resident pass
-    # (ops/pallas_pair.py); two-type parameters enter as an exact
-    # bilinear interpolation over typeids. want="all" adds energy +
+    # (ops/pallas_pair.py); multi-type parameters are reconstructed
+    # from the typeid planes (_table_scalars). want="all" adds energy +
     # virial outputs (the observable pull path); xplor smoothing is
     # applied inside the evaluator closure. Masked (tilted-box) grids
     # carry validity planes — the stencil shifts themselves are already
@@ -850,8 +951,8 @@ def dense_pair_force(
     # cap % 8: the kernel's j-subtile height must divide every J segment
     # (segments are multiples of cap_pad); odd caps take the XLA path
     if (
-        want in ("force", "all") and T <= 2 and spec.cap % 8 == 0
-        and jb.preshifted
+        want in ("force", "all") and T <= _PALLAS_MAX_T
+        and spec.cap % 8 == 0 and jb.preshifted
     ):
         from . import pallas_pair as PP
 
@@ -1008,7 +1109,7 @@ def _pallas_half_pair_force(
     tables: dict, r_cut_table, r_on_table=None, mode: str = "none",
     want: str = "force", masked: bool = False, interpret: bool = False,
 ):
-    """Half-stencil maskless pair force via the Pallas kernel (T <= 2).
+    """Half-stencil maskless pair force via the Pallas kernel (T <= 4).
 
     Physics identical to the XLA half-stencil branch of dense_pair_force;
     only the execution schedule differs (see ops/pallas_pair.py). The
@@ -1016,12 +1117,13 @@ def _pallas_half_pair_force(
     input transposes, three output transposes, nothing per-offset.
     (``jb`` is ignored — stencil rows are rebuilt transposed.)
 
-    Two particle types enter as an exact bilinear interpolation of the
-    [2, 2] parameter tables over (typeid_i, typeid_j) — 1 fma per
-    parameter per pair instead of a gather (TPU vectors cannot gather).
-    Empty slots carry typeid -1; the extrapolated parameters are garbage
-    there, but the sentinel coordinates put rsq beyond every finite
-    cutoff, so the contribution is exactly zero.
+    Multi-type parameters are reconstructed arithmetically from the f32
+    typeid planes instead of gathered (TPU vectors cannot gather): exact
+    bilinear interpolation for T == 2, exact one-hot contraction for
+    T in (3, 4) — see _table_scalars. Empty slots carry typeid -1; the
+    reconstructed parameters are garbage/zero there, but the sentinel
+    coordinates put rsq beyond every finite cutoff, so the contribution
+    is exactly zero.
     """
     from . import pallas_pair as PP
     from .pair_force import ForceResult
@@ -1043,66 +1145,27 @@ def _pallas_half_pair_force(
     if need_ron:
         ronsq_t = r_on_table * r_on_table
 
-    if T == 1:
-        scalars = [tables[k].reshape(()) for k in keys] + [rcutsq_t.reshape(())]
+    tab_list = [tables[k] for k in keys] + [rcutsq_t]
+    if need_ecut:
+        tab_list.append(ecut_t)
+    if need_ron:
+        tab_list.append(ronsq_t)
+    scalars, stride, basis_fn, unpack_one = _table_scalars(tab_list, T)
+
+    def unpack(svals, ei, ej):
+        b = basis_fn(ei[0], ej[0]) if T > 1 else None
+        vals = [
+            unpack_one(svals, i * stride, b) for i in range(len(tab_list))
+        ]
+        p = dict(zip(keys, vals))
+        o = nk + 1
+        ec = ron = None
         if need_ecut:
-            scalars.append(ecut_t.reshape(()))
+            ec = vals[o]
+            o += 1
         if need_ron:
-            scalars.append(ronsq_t.reshape(()))
-        extra_i = extra_j = ()
-
-        def unpack(svals, ei, ej):
-            p = dict(zip(keys, svals))
-            o = nk + 1
-            ec = ron = None
-            if need_ecut:
-                ec = svals[o]
-                o += 1
-            if need_ron:
-                ron = svals[o]
-            return p, svals[nk], ec, ron
-    else:
-        # bilinear coefficients: tab(ti, tj) = c0 + c1 ti + c2 tj + c3 ti tj
-        def coeffs(t):
-            t = t.astype(jnp.float32)
-            return [
-                t[0, 0].reshape(()),
-                (t[1, 0] - t[0, 0]).reshape(()),
-                (t[0, 1] - t[0, 0]).reshape(()),
-                (t[1, 1] - t[1, 0] - t[0, 1] + t[0, 0]).reshape(()),
-            ]
-
-        scalars = []
-        for k in keys:
-            scalars += coeffs(tables[k])
-        scalars += coeffs(rcutsq_t)
-        if need_ecut:
-            scalars += coeffs(ecut_t)
-        if need_ron:
-            scalars += coeffs(ronsq_t)
-
-        def unpack(svals, ei, ej):
-            ti, tj = ei[0], ej[0]
-            tij = ti * tj
-
-            def P(o):
-                return (
-                    svals[o]
-                    + svals[o + 1] * ti
-                    + svals[o + 2] * tj
-                    + svals[o + 3] * tij
-                )
-
-            p = {k: P(4 * i) for i, k in enumerate(keys)}
-            rcs = P(4 * nk)
-            o = 4 * nk + 4
-            ec = ron = None
-            if need_ecut:
-                ec = P(o)
-                o += 4
-            if need_ron:
-                ron = P(o)
-            return p, rcs, ec, ron
+            ron = vals[o]
+        return p, vals[nk], ec, ron
 
     # masked (tilted) grids: validity plane after the typeid plane. It is
     # folded into rsq BEFORE the evaluator (invalid pairs see a far
@@ -1214,7 +1277,7 @@ def _pallas_half_dpd_force(
     kT, dt, seed: int, timestep, masked: bool = False,
     interpret: bool = False,
 ):
-    """Maskless DPD force via the Pallas stencil kernel (T <= 2).
+    """Maskless DPD force via the Pallas stencil kernel (T <= 4).
 
     The full DPD triple — conservative, drag, and the pair-symmetric
     random force — evaluated once per unordered pair with the Threefry
@@ -1247,35 +1310,14 @@ def _pallas_half_dpd_force(
     k1_lo = (t_u & jnp.uint32(0xFFFF)).astype(jnp.float32)
     k0 = float((int(_rng.Stream.DPD_GENERAL_WEIGHT) << 16) ^ (int(seed) & 0xFFFF))
     ptabs = [tables["A"], tables["gamma"], tables["s"], r_cut_table, sigma_t]
-    if T == 1:
-        scalars = [t.reshape(()) for t in ptabs]
+    # typeid-plane interpolation (bilinear for T == 2, exact one-hot for
+    # T >= 3): see _table_scalars
+    scalars, stride, basis_fn, unpack_one = _table_scalars(ptabs, T)
 
-        def params_of(svals, ei, ej):
-            return svals[:5]
-    else:
-        # exact bilinear interpolation over (typeid_i, typeid_j), see
-        # _pallas_half_pair_force
-        def coeffs(t):
-            t = t.astype(jnp.float32)
-            return [
-                t[0, 0].reshape(()),
-                (t[1, 0] - t[0, 0]).reshape(()),
-                (t[0, 1] - t[0, 0]).reshape(()),
-                (t[1, 1] - t[1, 0] - t[0, 1] + t[0, 0]).reshape(()),
-            ]
+    def params_of(svals, ei, ej):
+        b = basis_fn(ei[4], ej[4]) if T > 1 else None
+        return [unpack_one(svals, i * stride, b) for i in range(5)]
 
-        scalars = []
-        for t in ptabs:
-            scalars += coeffs(t)
-
-        def params_of(svals, ei, ej):
-            ti, tj = ei[4], ej[4]
-            tij = ti * tj
-            return [
-                svals[o] + svals[o + 1] * ti + svals[o + 2] * tj
-                + svals[o + 3] * tij
-                for o in range(0, 20, 4)
-            ]
     scalars += [jnp.float32(k0), k1_hi, k1_lo]
 
     def eval_f(dx, dy, dz, rsq, ei, ej, svals):
@@ -1482,13 +1524,13 @@ def dense_dpd_force(
     # Newton half-stencil: evaluate each unordered pair once, scatter the
     # force to both members (j side in the rolled frame, un-rolled after)
     #
-    # Hot case (force-only, <= 2 types): Pallas kernel with the per-pair
+    # Hot case (force-only, <= 4 types): Pallas kernel with the per-pair
     # Threefry traced into the Mosaic body (SURVEY §7 hard part #3 — the
     # RNG is the dominant per-pair cost and runs on the VPU's integer
     # lanes). Tags must be f32-exact (< 2^24); masked (tilted) grids add
     # a validity plane.
     if (
-        want == "force" and T <= 2 and spec.cap % 8 == 0
+        want == "force" and T <= _PALLAS_MAX_T and spec.cap % 8 == 0
         and dense.N < (1 << 24) and jb.preshifted
     ):
         from . import pallas_pair as PP
@@ -1588,12 +1630,14 @@ def _pallas_half_aniso_force(
     tables: dict, r_cut_table, mode: str, masked: bool = False,
     interpret: bool = False,
 ):
-    """Single-type maskless aniso force+torque via the Pallas kernel.
+    """Maskless aniso force+torque via the Pallas kernel (T <= 4).
 
     n_acc = 6: force x/y/z on each Newton side (j gets -f) plus each
     side's OWN torque from the evaluator (torques are not antisymmetric;
     reference AnisoPairEvaluatorTwoPatchMorse.h:179-192). Quaternions
-    ride the generic extra-plane channel (4 per side).
+    ride the generic extra-plane channel (4 per side), followed by the
+    typeid plane when T > 1 (parameters reconstructed per
+    _table_scalars) and the validity plane on masked grids.
     """
     from . import pallas_pair as PP
     from .pair_force import ForceResult
@@ -1602,22 +1646,26 @@ def _pallas_half_aniso_force(
     offsets = spec.half_stencil()
     n_seg = len(offsets) + 1
     cap_pad = PP.pad_cap(cap)
+    T = r_cut_table.shape[0]
     keys = sorted(tables)
     nk = len(keys)
-    rcutsq = (r_cut_table * r_cut_table).reshape(())
-    scalars = [tables[k].reshape(()) for k in keys] + [rcutsq]
+    rcutsq_t = r_cut_table * r_cut_table
+    tab_list = [tables[k] for k in keys] + [rcutsq_t]
+    scalars, stride, basis_fn, unpack_one = _table_scalars(tab_list, T)
     shift = mode == "shift"
 
     def eval_f(dx, dy, dz, rsq, ei, ej, svals):
+        # extra planes: 4 quaternions [+ typeid if T > 1] [+ validity]
+        b = basis_fn(ei[4], ej[4]) if T > 1 else None
+        vals = [unpack_one(svals, i * stride, b) for i in range(nk + 1)]
         p = {
-            k: jnp.asarray(v, jnp.float32)
-            for k, v in zip(keys, svals[:nk])
+            k: jnp.asarray(v, jnp.float32) for k, v in zip(keys, vals)
         }
-        rcs = jnp.asarray(svals[nk], jnp.float32)
+        rcs = jnp.asarray(vals[nk], jnp.float32)
         if masked:
-            # validity plane follows the 4 quaternion planes
+            # validity plane is always the LAST extra
             rsq = jnp.where(
-                ei[4] * ej[4] > 0.5, rsq, jnp.float32(1.0e30)
+                ei[-1] * ej[-1] > 0.5, rsq, jnp.float32(1.0e30)
             )
         e, f, ti, tj = energy_force_torque_fn(
             (dx, dy, dz), ei[:4], ej[:4], jnp.maximum(rcs, 1e-6), p, shift
@@ -1643,6 +1691,9 @@ def _pallas_half_aniso_force(
     ]
     qts = [dense.orientation[:, k].reshape(C, cap).T for k in range(4)]
     qfills = [1.0, 0.0, 0.0, 0.0]
+    if T > 1:
+        qts.append(dense.typeid.astype(jnp.float32).reshape(C, cap).T)
+        qfills.append(-1.0)
     if masked:
         qts.append((dense.tag >= 0).astype(jnp.float32).reshape(C, cap).T)
         qfills.append(0.0)
@@ -1785,7 +1836,7 @@ def dense_aniso_force(
     # quaternion patch math traced into the Mosaic body; masked (tilted)
     # grids add a validity plane
     if (
-        want == "force" and T == 1 and mode != "xplor"
+        want == "force" and T <= _PALLAS_MAX_T and mode != "xplor"
         and spec.cap % 8 == 0 and jb.preshifted
     ):
         from . import pallas_pair as PP

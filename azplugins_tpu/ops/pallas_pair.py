@@ -1,7 +1,7 @@
 """Pallas TPU kernel for the dense-stencil pair force (the hot op).
 
 Replaces the XLA scan in ops/dense.dense_pair_force for the hot case
-(maskless sentinel path, T <= 2 particle types): one Mosaic kernel
+(maskless sentinel path, T <= 4 particle types): one Mosaic kernel
 computes BOTH Newton sides of every pair in a single pass over the
 half-stencil J blocks, with accumulators resident in VMEM. Optional
 energy + virial outputs serve the observable pull path (``want="all"``).

@@ -25,7 +25,7 @@ def build(N_side=24, rho=0.85, types=1, orient=False, vel=False, seed=5):
     a = L / N_side
     snap = az.Snapshot(N=N)
     snap.configuration.box = [L, L, L, 0, 0, 0]
-    snap.particles.types = ["A", "B"][:types]
+    snap.particles.types = ["A", "B", "C", "D"][:types]
     x = (np.arange(N_side) + 0.5) * a - L / 2
     pos = np.stack(np.meshgrid(x, x, x, indexing="ij"), -1).reshape(-1, 3)
     rng = np.random.default_rng(seed)
@@ -99,6 +99,21 @@ def main():
     got = jax.block_until_ready(run_pair(dense2, spec2, t2, rc2, "shift", "all", 2))
     cmp("pair 2type", ref, got, ("force", "energy", "virial"))
 
+    # three types (one-hot parameter reconstruction, _table_scalars)
+    dense3, spec3 = build(types=3, seed=13)
+    rng3 = np.random.default_rng(13)
+    t3 = {}
+    for k in prec:
+        m = rng3.uniform(0.5, 1.5, (3, 3)) * float(prec[k])
+        t3[k] = jnp.asarray((m + m.T) / 2, jnp.float32)
+    rcm = rng3.uniform(2.2, 3.0, (3, 3))
+    rc3 = jnp.asarray((rcm + rcm.T) / 2, jnp.float32)
+    os.environ["AZTPU_PALLAS"] = "0"
+    ref = jax.block_until_ready(run_pair(dense3, spec3, t3, rc3, "shift", "all", 3))
+    os.environ["AZTPU_PALLAS"] = "1"
+    got = jax.block_until_ready(run_pair(dense3, spec3, t3, rc3, "shift", "all", 3))
+    cmp("pair 3type", ref, got, ("force", "energy", "virial"))
+
     # masked (tilted box)
     rng = np.random.default_rng(3)
     Nt = 20**3
@@ -151,6 +166,30 @@ def main():
     got = jax.block_until_ready(run_dpd())
     cmp("dpd", ref, got, ("force",))
 
+    # DPD, three types (one-hot tables + in-kernel Threefry)
+    dd3, ds3 = build(types=3, vel=True, seed=17)
+    rngd = np.random.default_rng(17)
+
+    def sym(lo, hi):
+        m = rngd.uniform(lo, hi, (3, 3))
+        return jnp.asarray((m + m.T) / 2, jnp.float32)
+
+    tdpd3 = {"A": sym(10, 40), "gamma": sym(2, 6), "s": sym(0.5, 2)}
+    rcd3 = sym(0.8, 1.2)
+
+    def run_dpd3():
+        jb = D.make_jblocks(dd3, ds3, need_velocity=True, need_tag=True,
+                            half=True, need_typeid=True)
+        return D.dense_dpd_force(dd3, jb, ds3, tdpd3, rcd3, kT=1.0, dt=0.01,
+                                 seed=3, timestep=jnp.int32(50),
+                                 want="force", masked=False)
+
+    os.environ["AZTPU_PALLAS"] = "0"
+    ref = jax.block_until_ready(run_dpd3())
+    os.environ["AZTPU_PALLAS"] = "1"
+    got = jax.block_until_ready(run_dpd3())
+    cmp("dpd 3type", ref, got, ("force",))
+
     # aniso
     da, sa = build(orient=True, seed=11)
     preca = ANISO_PAIR_POTENTIALS["TwoPatchMorse"].precompute(
@@ -170,6 +209,27 @@ def main():
     os.environ["AZTPU_PALLAS"] = "1"
     got = jax.block_until_ready(run_aniso())
     cmp("aniso", ref, got, ("force", "torque"))
+
+    # aniso, two types (bilinear tables after the quaternion planes)
+    da2, sa2 = build(types=2, orient=True, seed=19)
+    preca2 = ANISO_PAIR_POTENTIALS["TwoPatchMorse"].precompute(
+        dict(M_d=0.8, M_r=0.25, r_eq=1.1, omega=10.0, alpha=0.4, repulsion=True))
+    ta2 = {k: jnp.asarray([[float(preca[k]), float(preca2[k])],
+                           [float(preca2[k]), float(preca[k])]], jnp.float32)
+           for k in preca}
+    rca2 = jnp.asarray([[1.6, 1.4], [1.4, 1.5]], jnp.float32)
+
+    def run_aniso2():
+        jb = D.make_jblocks(da2, sa2, need_quat=True, half=True,
+                            need_typeid=True)
+        return D.dense_aniso_force(efa, da2, jb, sa2, ta2, rca2, mode="shift",
+                                   want="force", masked=False)
+
+    os.environ["AZTPU_PALLAS"] = "0"
+    ref = jax.block_until_ready(run_aniso2())
+    os.environ["AZTPU_PALLAS"] = "1"
+    got = jax.block_until_ready(run_aniso2())
+    cmp("aniso 2type", ref, got, ("force", "torque"))
     print("TPU BURST CHECK OK", flush=True)
 
 

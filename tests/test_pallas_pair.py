@@ -375,6 +375,173 @@ def test_pallas_masked_tilted_box(monkeypatch, want):
         )
 
 
+def _multi_type_system(T, N=500, L=12.0, seed=31, velocities=False):
+    rng = np.random.default_rng(seed)
+    snap = az.Snapshot(N=N)
+    snap.configuration.box = [L, L, L, 0, 0, 0]
+    snap.particles.types = [chr(ord("A") + k) for k in range(T)]
+    snap.particles.typeid[:] = rng.integers(0, T, N)
+    snap.particles.position[:] = (rng.random((N, 3)) - 0.5) * L
+    state, _, _ = state_from_snapshot(snap)
+    if velocities:
+        state = state.replace(
+            velocity=jnp.asarray(rng.normal(0, 1, (N, 3)), jnp.float32)
+        )
+    spec = D.GridSpec.create(state.box, N, r_cut=1.5, buffer=0.3)
+    dense, meta = D.densify(state, spec)
+    while bool(meta.overflow):
+        spec = spec.grow()
+        dense, meta = D.densify(state, spec)
+    return dense, spec
+
+
+def _plj_tables_T(T, seed=5):
+    """[T, T] PLJ tables, every pair distinct, one pair disabled."""
+    rng = np.random.default_rng(seed)
+    prec = PAIR_POTENTIALS["PerturbedLennardJones"].precompute
+    keys = list(prec({"epsilon": 1, "sigma": 1, "attraction_scale_factor": 1}))
+    tabs = {k: np.zeros((T, T), np.float32) for k in keys}
+    r_cut = np.zeros((T, T), np.float32)
+    for a in range(T):
+        for b in range(a, T):
+            p = prec({
+                "epsilon": float(rng.uniform(0.4, 1.4)),
+                "sigma": float(rng.uniform(0.9, 1.1)),
+                "attraction_scale_factor": float(rng.uniform(0.0, 1.0)),
+            })
+            for k in keys:
+                tabs[k][a, b] = tabs[k][b, a] = p[k]
+            r_cut[a, b] = r_cut[b, a] = float(rng.uniform(1.2, 1.5))
+    r_cut[T - 1, 0] = r_cut[0, T - 1] = 0.0  # disabled pair
+    return (
+        {k: jnp.asarray(v) for k, v in tabs.items()},
+        jnp.asarray(r_cut, jnp.float32),
+    )
+
+
+@pytest.mark.parametrize("T", [3, 4])
+@pytest.mark.parametrize("want", ["force", "all"])
+def test_pallas_multi_types_one_hot(monkeypatch, T, want):
+    """T in (3, 4): per-pair parameters via the exact one-hot contraction
+    (_table_scalars) match the XLA one-hot path, including a disabled
+    pair (r_cut 0)."""
+    dense, spec = _multi_type_system(T)
+    tables, r_cut = _plj_tables_T(T)
+    ef = PAIR_POTENTIALS["PerturbedLennardJones"].energy_force
+
+    def run():
+        jb = D.make_jblocks(dense, spec, half=True, need_typeid=True)
+        return D.dense_pair_force(
+            ef, dense, jb, spec, tables, r_cut,
+            mode="shift", want=want, masked=False,
+        )
+
+    monkeypatch.setenv("AZTPU_PALLAS", "0")
+    ref = run()
+    monkeypatch.setenv("AZTPU_PALLAS", "1")
+    got = run()
+    fields = ("force",) if want == "force" else ("force", "energy", "virial")
+    for field in fields:
+        r = np.asarray(getattr(ref, field))
+        g = np.asarray(getattr(got, field))
+        scale = max(np.abs(r).max(), 1.0)
+        np.testing.assert_allclose(
+            g, r, atol=3e-5 * scale, rtol=3e-5, err_msg=field
+        )
+
+
+def test_pallas_dpd_three_types(monkeypatch):
+    """Three-type DPD mixture through the kernel: one-hot A/gamma/s/rcut/
+    sigma tables plus in-kernel Threefry."""
+    rng = np.random.default_rng(41)
+    dense, spec = _multi_type_system(3, velocities=True, seed=41)
+    tables = {
+        "A": jnp.asarray(rng.uniform(10, 40, (3, 3)), jnp.float32),
+        "gamma": jnp.asarray(rng.uniform(2, 6, (3, 3)), jnp.float32),
+        "s": jnp.asarray(rng.uniform(0.5, 2, (3, 3)), jnp.float32),
+    }
+    tables = {k: (v + v.T) / 2 for k, v in tables.items()}
+    rc = rng.uniform(1.0, 1.5, (3, 3))
+    r_cut = jnp.asarray((rc + rc.T) / 2, jnp.float32)
+
+    def run():
+        jb = D.make_jblocks(
+            dense, spec, need_velocity=True, need_tag=True, half=True,
+            need_typeid=True,
+        )
+        return D.dense_dpd_force(
+            dense, jb, spec, tables, r_cut, kT=1.0, dt=0.01, seed=9,
+            timestep=jnp.int32(321), want="force", masked=False,
+        )
+
+    monkeypatch.setenv("AZTPU_PALLAS", "0")
+    ref = run()
+    monkeypatch.setenv("AZTPU_PALLAS", "1")
+    got = run()
+    f_ref = np.asarray(ref.force)
+    scale = max(np.abs(f_ref).max(), 1.0)
+    np.testing.assert_allclose(
+        np.asarray(got.force), f_ref, atol=5e-5 * scale, rtol=5e-5
+    )
+
+
+def test_pallas_aniso_two_types(monkeypatch):
+    """Two-type TwoPatchMorse through the kernel: bilinear parameter
+    reconstruction on the typeid plane after the quaternion planes."""
+    from azplugins_tpu.ops.evaluators.aniso import ANISO_PAIR_POTENTIALS
+
+    rng = np.random.default_rng(43)
+    dense, spec = _multi_type_system(2, N=400, seed=43)
+    S = dense.position.shape[0]
+    q = rng.normal(size=(S, 4))
+    q /= np.linalg.norm(q, axis=1, keepdims=True)
+    quat = jnp.where(
+        (dense.tag >= 0)[:, None],
+        jnp.asarray(q, jnp.float32),
+        jnp.asarray([1.0, 0, 0, 0], jnp.float32),
+    )
+    dense = dense.replace(orientation=quat)
+    prec = ANISO_PAIR_POTENTIALS["TwoPatchMorse"].precompute
+    vals = {
+        (0, 0): dict(M_d=1.5, M_r=0.2, r_eq=1.0, omega=15.0, alpha=0.5,
+                     repulsion=True),
+        (0, 1): dict(M_d=0.8, M_r=0.25, r_eq=1.1, omega=10.0, alpha=0.4,
+                     repulsion=True),
+        (1, 1): dict(M_d=2.0, M_r=0.15, r_eq=0.9, omega=20.0, alpha=0.6,
+                     repulsion=True),
+    }
+    keys = list(prec(vals[(0, 0)]))
+    tables = {k: np.zeros((2, 2), np.float32) for k in keys}
+    for (a, b), v in vals.items():
+        p = prec(v)
+        for k in keys:
+            tables[k][a, b] = tables[k][b, a] = p[k]
+    tables = {k: jnp.asarray(v) for k, v in tables.items()}
+    r_cut = jnp.asarray([[1.5, 1.4], [1.4, 1.3]], jnp.float32)
+    ef = ANISO_PAIR_POTENTIALS["TwoPatchMorse"].energy_force_torque
+
+    def run():
+        jb = D.make_jblocks(
+            dense, spec, need_quat=True, half=True, need_typeid=True
+        )
+        return D.dense_aniso_force(
+            ef, dense, jb, spec, tables, r_cut,
+            mode="shift", want="force", masked=False,
+        )
+
+    monkeypatch.setenv("AZTPU_PALLAS", "0")
+    ref = run()
+    monkeypatch.setenv("AZTPU_PALLAS", "1")
+    got = run()
+    for field in ("force", "torque"):
+        r = np.asarray(getattr(ref, field))
+        g = np.asarray(getattr(got, field))
+        scale = max(np.abs(r).max(), 1.0)
+        np.testing.assert_allclose(
+            g, r, atol=3e-5 * scale, rtol=3e-5, err_msg=field
+        )
+
+
 def test_pallas_cell_block_256(monkeypatch):
     """The 256-lane block width (the 64k production choice) on a small
     grid: C=216 pads to one 256-lane block, exercising the wide-bounds
