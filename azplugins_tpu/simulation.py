@@ -270,7 +270,16 @@ class Simulation:
                 buffer = max(buffer, f.nlist.buffer)
         if has_pair:
             state = self._synced_state()
-            new_spec = D.GridSpec.create(state.box, self._state.N, r_cut, buffer)
+            # spatial decomposition needs whole x cell planes per slab:
+            # snap Dx down to a mesh-size multiple at grid creation
+            dxm = (
+                int(self._spatial_mesh.shape["d"])
+                if self._spatial_mesh is not None
+                else 1
+            )
+            new_spec = D.GridSpec.create(
+                state.box, self._state.N, r_cut, buffer, dx_multiple=dxm
+            )
             # size cap for the *actual* starting configuration (host-side):
             # commensurate lattices concentrate particles far above the mean,
             # and every startup overflow-grow costs a full recompile
@@ -617,13 +626,23 @@ class Simulation:
         force stencil's halo pads lower to collective permutes across
         slab boundaries. Trajectories are bitwise identical to the
         single-device run (the spatial rebin reproduces the global slot
-        layout exactly). Requires the grid's Dx divisible by the mesh
-        size — call after the grid exists (post-attach) or it is
-        validated at the next attach.
+        layout exactly). The grid's Dx is snapped down to a mesh-size
+        multiple at creation (GridSpec.create dx_multiple) so each slab
+        owns whole cell planes; an incommensurate existing grid is
+        rebuilt at the next run.
         """
         self._spatial_mesh = mesh
         self._spatial_migrate_cap = migrate_cap
         if self._attached:
+            n = int(mesh.shape["d"])
+            if (
+                self._grid_spec is not None
+                and self._grid_spec.dims[0] % n != 0
+            ):
+                # regrid with the slab-aligned Dx at the next attach
+                self._invalidate()
+                self._drop_dense()
+                return
             self._build_runner()
             self._place_spatial()
 

@@ -149,6 +149,115 @@ def test_simulation_spatial_decomposition_bitwise():
     np.testing.assert_array_equal(ref_pos, got_pos)
 
 
+def test_spatial_snaps_unaligned_dx(monkeypatch):
+    """A mesh that does not divide the natural Dx: the grid snaps down to
+    fewer, wider x cells (GridSpec.create dx_multiple) instead of
+    failing. The 3-slab trajectory matches a single-device run on the
+    SAME snapped grid bitwise (the reference sim is patched to use the
+    identical dx_multiple so both layouts agree)."""
+    orig = D.GridSpec.create.__func__
+
+    def snapped(cls, box, N, r_cut, buffer, safety=1.18, dx_multiple=1):
+        return orig(cls, box, N, r_cut, buffer, safety, 3)
+
+    monkeypatch.setattr(D.GridSpec, "create", classmethod(snapped))
+    ref = _slab_sim(seed=33)
+    ref.run(25)
+    assert ref._grid_spec.dims[0] == 6
+    ref_pos = np.asarray(ref.state.get_snapshot().particles.position)
+
+    sim = _slab_sim(seed=33)
+    sim.enable_spatial_decomposition(make_mesh(3))
+    sim.run(25)
+    assert sim._grid_spec.dims[0] == 6
+    got_pos = np.asarray(sim.state.get_snapshot().particles.position)
+    np.testing.assert_array_equal(ref_pos, got_pos)
+
+
+def _droplet_workload_sim(traj_path=None):
+    """Evaporating-droplet-style composition (BASELINE config 5 shrunk to
+    the 8-slab grid): pair + moving planar barrier + ParticleEvaporator +
+    velocity-field observable + aztraj writer."""
+    rng = np.random.default_rng(44)
+    N = 500
+    L = [14.5, 7.3, 7.3]
+    snap = az.Snapshot(N=N)
+    snap.configuration.box = L + [0, 0, 0]
+    snap.particles.types = ["solvent", "evaporated"]
+    snap.particles.position[:] = (rng.random((N, 3)) - 0.5) * np.asarray(L)
+    sim = az.Simulation(seed=11)
+    sim.create_state_from_snapshot(snap)
+    pot = az.pair.Hertz(nlist=az.md.nlist.Cell(buffer=0.3), default_r_cut=1.5)
+    pot.params[("solvent", "solvent")] = dict(epsilon=5.0)
+    pot.params[("solvent", "evaporated")] = dict(epsilon=1.0)
+    pot.params[("evaporated", "evaporated")] = dict(epsilon=0.0)
+    barrier = az.external.PlanarHarmonicBarrier(
+        location=az.variant.Ramp(A=3.0, B=2.0, t_start=0, t_ramp=100)
+    )
+    barrier.params["solvent"] = dict(k=20.0, offset=0.0)
+    barrier.params["evaporated"] = dict(k=0.0, offset=0.0)
+    evap = az.update.ParticleEvaporator(
+        trigger=az.trigger.Periodic(5),
+        solvent_type="solvent",
+        evaporated_type="evaporated",
+        lo=1.0,
+        hi=3.6,
+        N_evap_max=4,
+    )
+    sim.operations.updaters.append(evap)
+    sim.operations.integrator = az.md.Integrator(
+        dt=0.002,
+        methods=[az.md.methods.Langevin(kT=0.8, default_gamma=1.0)],
+        forces=[pot, barrier],
+    )
+    field = az.compute.CartesianVelocityFieldCompute(
+        num_bins=[4, 0, 0],
+        lower_bounds=[-L[0] / 2, 0, 0],
+        upper_bounds=[L[0] / 2, 0, 0],
+        filter=az.filter.All(),
+    )
+    sim.operations.computes.append(field)
+    if traj_path is not None:
+        sim.operations += az.write.Trajectory(
+            trigger=az.trigger.Periodic(10), filename=str(traj_path)
+        )
+    sim.state.thermalize_particle_momenta(kT=0.8)
+    return sim, field
+
+
+def test_spatial_droplet_workload_bitwise(tmp_path):
+    """Updaters (evaporator retype), writers (aztraj), and observables
+    (velocity field) all running with spatial decomposition active: the
+    8-slab run reproduces the single-device trajectory, typeids, written
+    trajectory file, AND observable values bitwise."""
+    ref, ref_field = _droplet_workload_sim(tmp_path / "ref.azt")
+    ref.run(40)
+    ref_snap = ref.state.get_snapshot()
+    ref_vel = np.asarray(ref_field.velocities)
+
+    sim, field = _droplet_workload_sim(tmp_path / "spatial.azt")
+    sim.enable_spatial_decomposition(make_mesh(8))
+    sim.run(40)
+    assert sim._grid_spec.dims[0] == 8
+    got_snap = sim.state.get_snapshot()
+
+    np.testing.assert_array_equal(
+        ref_snap.particles.position, got_snap.particles.position
+    )
+    np.testing.assert_array_equal(
+        ref_snap.particles.velocity, got_snap.particles.velocity
+    )
+    np.testing.assert_array_equal(
+        ref_snap.particles.typeid, got_snap.particles.typeid
+    )
+    # evaporation actually happened (updater ran under sharding)
+    assert (got_snap.particles.typeid == 1).sum() > 0
+    np.testing.assert_array_equal(ref_vel, np.asarray(field.velocities))
+    assert (tmp_path / "ref.azt").read_bytes() == (
+        tmp_path / "spatial.azt"
+    ).read_bytes()
+
+
 def test_spatial_rebin_migrant_overflow_flag():
     """Tiny migrate_cap forces the migrant-buffer overflow path."""
     dense, meta, spec, N = _grid_system(seed=4)
