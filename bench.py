@@ -170,10 +170,230 @@ def _stage(msg):
     print(f"[bench] {msg}", file=sys.stderr, flush=True)
 
 
+# ---------------------------------------------------------------------------
+# Extra configs (BASELINE.json configs 2-5): one JSON line each, printed
+# BEFORE the headline 64k perturbed-LJ line so last-line parsers still get
+# the headline metric. vs_baseline is null — no reference estimate exists
+# for these (BASELINE.md: the reference publishes no numbers at all).
+# ---------------------------------------------------------------------------
+def build_polymer_melt(n_chains=1280, chain_len=25, rho=0.5, seed=14):
+    """BASELINE config 2: quartic scissile bonds + ExpandedYukawa pairs."""
+    import azplugins_tpu as az
+
+    N = n_chains * chain_len
+    L = (N / rho) ** (1 / 3)
+    rng = np.random.default_rng(seed)
+    snap = az.Snapshot(N=N, bond_N=n_chains * (chain_len - 1))
+    snap.configuration.box = [L, L, L, 0, 0, 0]
+    snap.particles.types = ["A"]
+    snap.bonds.types = ["backbone"]
+    starts = rng.uniform(-L / 2, L / 2, (n_chains, 3))
+    b = 0
+    for c in range(n_chains):
+        pos = starts[c]
+        d = rng.normal(size=3)
+        for m in range(chain_len):
+            i = c * chain_len + m
+            snap.particles.position[i] = (pos + L / 2) % L - L / 2
+            if m < chain_len - 1:
+                snap.bonds.typeid[b] = 0
+                snap.bonds.group[b] = [i, i + 1]
+                b += 1
+            d = d + 0.3 * rng.normal(size=3)
+            d /= np.linalg.norm(d)
+            pos = pos + 0.97 * d
+    sim = az.Simulation(seed=seed)
+    sim.create_state_from_snapshot(snap)
+    bonds = az.bond.Quartic()
+    bonds.params["backbone"] = dict(
+        k=1434.3, r_0=1.5, b_1=-0.7589, b_2=0.0, U_0=67.2234,
+        sigma=1.0, epsilon=1.0, delta=0.0,
+    )
+    pairs = az.pair.ExpandedYukawa(
+        nlist=az.md.nlist.Cell(buffer=0.4), default_r_cut=2.5
+    )
+    pairs.params[("A", "A")] = dict(epsilon=2.0, kappa=1.5, delta=0.5)
+    sim.operations.integrator = az.md.Integrator(
+        dt=0.002,
+        methods=[az.md.methods.Langevin(kT=1.0, default_gamma=0.5)],
+        forces=[bonds, pairs],
+    )
+    sim.state.thermalize_particle_momenta(kT=1.0)
+    return sim
+
+
+def build_dpd_fluid(n_side=28, rho=3.0, seed=5):
+    """BASELINE config 3: DPD general-weight thermostat fluid (~22k)."""
+    import azplugins_tpu as az
+
+    N = n_side**3
+    L = (N / rho) ** (1 / 3)
+    a = L / n_side
+    snap = az.Snapshot(N=N)
+    snap.configuration.box = [L, L, L, 0, 0, 0]
+    snap.particles.types = ["A"]
+    x = (np.arange(n_side) + 0.5) * a - L / 2
+    snap.particles.position[:] = np.stack(
+        np.meshgrid(x, x, x, indexing="ij"), -1
+    ).reshape(-1, 3)
+    sim = az.Simulation(seed=seed)
+    sim.create_state_from_snapshot(snap)
+    dpd = az.pair.DPDGeneralWeight(
+        nlist=az.md.nlist.Cell(buffer=0.4), kT=1.0, default_r_cut=1.0
+    )
+    dpd.params[("A", "A")] = dict(A=25.0, gamma=4.5, s=0.5)
+    sim.operations.integrator = az.md.Integrator(
+        dt=0.01, methods=[az.md.methods.ConstantVolume()], forces=[dpd]
+    )
+    return sim
+
+
+def build_patchy(n_side=30, a=1.5, seed=2):
+    """BASELINE config 4: TwoPatchMorse aniso + NO_SQUISH rotation (27k)."""
+    import azplugins_tpu as az
+
+    N = n_side**3
+    L = n_side * a
+    rng = np.random.default_rng(seed)
+    snap = az.Snapshot(N=N)
+    snap.configuration.box = [L, L, L, 0, 0, 0]
+    snap.particles.types = ["P"]
+    x = (np.arange(n_side) + 0.5) * a - L / 2
+    snap.particles.position[:] = np.stack(
+        np.meshgrid(x, x, x, indexing="ij"), -1
+    ).reshape(-1, 3)
+    q = rng.normal(size=(N, 4))
+    snap.particles.orientation[:] = q / np.linalg.norm(q, axis=1, keepdims=True)
+    snap.particles.moment_inertia[:] = [0.4, 0.4, 0.4]
+    sim = az.Simulation(seed=seed)
+    sim.create_state_from_snapshot(snap)
+    patchy = az.pair.TwoPatchMorse(
+        nlist=az.md.nlist.Cell(buffer=0.3), default_r_cut=1.6, mode="shift"
+    )
+    patchy.params[("P", "P")] = dict(
+        M_d=1.5, M_r=0.05, r_eq=1.0, omega=20.0, alpha=0.4, repulsion=True
+    )
+    sim.operations.integrator = az.md.Integrator(
+        dt=0.002,
+        methods=[az.md.methods.Langevin(kT=0.3, default_gamma=1.0)],
+        forces=[patchy],
+        integrate_rotational_dof=True,
+    )
+    sim.state.thermalize_particle_momenta(kT=0.3)
+    return sim
+
+
+def build_droplet(R0=20.0, a=1.1, seed=7):
+    """BASELINE config 5: droplet with shrinking spherical barrier, LJ93
+    wall, ParticleEvaporator, Langevin in parabolic flow (~20k)."""
+    import azplugins_tpu as az
+
+    L = 2 * R0 + 4.0
+    g = np.arange(-R0, R0 + a, a)
+    pts = np.stack(np.meshgrid(g, g, g, indexing="ij"), -1).reshape(-1, 3)
+    pts = pts[np.linalg.norm(pts, axis=1) < R0 * 0.93]
+    N = len(pts)
+    snap = az.Snapshot(N=N)
+    snap.configuration.box = [L, L, L, 0, 0, 0]
+    snap.particles.types = ["solvent", "evaporated"]
+    snap.particles.position[:] = pts
+    sim = az.Simulation(seed=seed)
+    sim.create_state_from_snapshot(snap)
+    lj = az.pair.PerturbedLennardJones(
+        nlist=az.md.nlist.Cell(buffer=0.4), default_r_cut=2.5
+    )
+    lj.params[("solvent", "solvent")] = dict(
+        epsilon=1.0, sigma=1.0, attraction_scale_factor=1.0
+    )
+    lj.params[("solvent", "evaporated")] = dict(
+        epsilon=0.0, sigma=1.0, attraction_scale_factor=0.0
+    )
+    lj.params[("evaporated", "evaporated")] = dict(
+        epsilon=0.0, sigma=1.0, attraction_scale_factor=0.0
+    )
+    radius = az.variant.SphereArea(R0=R0, alpha=0.05)
+    barrier = az.external.SphericalHarmonicBarrier(location=radius)
+    barrier.params["solvent"] = dict(k=50.0, offset=0.0)
+    barrier.params["evaporated"] = dict(k=0.0, offset=0.0)
+    wall = az.external.wall.LJ93(
+        walls=[az.external.wall.Plane(origin=(0, 0, -L / 2 + 0.5), normal=(0, 0, 1))]
+    )
+    wall.params["solvent"] = dict(epsilon=1.0, sigma=1.0, r_cut=3.0)
+    wall.params["evaporated"] = dict(epsilon=0.0, sigma=1.0, r_cut=3.0)
+    evap = az.update.ParticleEvaporator(
+        trigger=az.trigger.Periodic(25),
+        solvent_type="solvent", evaporated_type="evaporated",
+        lo=R0 / 2, hi=L / 2, N_evap_max=10,
+    )
+    sim.operations.updaters.append(evap)
+    flow = az.flow.ParabolicFlow(mean_velocity=0.5, separation=L - 2.0)
+    sim.operations.integrator = az.md.Integrator(
+        dt=0.002,
+        methods=[az.md.methods.LangevinFlow(kT=1.0, flow_field=flow,
+                                            default_gamma=1.0)],
+        forces=[lj, barrier, wall],
+    )
+    sim.state.thermalize_particle_momenta(kT=1.0)
+    return sim
+
+
+_EXTRA_CONFIGS = [
+    ("polymer_melt_32k", build_polymer_melt),
+    ("dpd_fluid_22k", build_dpd_fluid),
+    ("patchy_colloids_27k", build_patchy),
+    ("droplet_evaporation_20k", build_droplet),
+]
+
+
+def bench_extras():
+    which = os.environ.get("BENCH_CONFIGS", "all")
+    if which in ("0", "headline"):
+        return
+    sel = None if which == "all" else set(which.split(","))
+    import azplugins_tpu as az
+
+    for name, builder in _EXTRA_CONFIGS:
+        if sel is not None and name not in sel:
+            continue
+        line = {
+            "metric": f"timesteps_per_second_{name}",
+            "value": 0.0,
+            "unit": "steps/s",
+            "vs_baseline": None,
+            "extra": {},
+        }
+        try:
+            t0 = time.perf_counter()
+            sim = builder()
+            sim.auto_tune_after = 150
+            sim.run(250)  # compile + warm + auto-tune + settle
+            sim._seg_adapt = False
+            _stage(f"{name}: N={sim._synced_state().N} warm in "
+                   f"{time.perf_counter()-t0:.1f}s cap={sim._grid_spec.cap}")
+            ms = time_steps(sim, 60, 300)
+            thermo = az.compute.ThermodynamicQuantities()
+            sim.operations.computes.append(thermo)
+            thermo._attach(sim)
+            line["value"] = round(1e3 / ms, 1)
+            line["extra"] = {
+                "N": sim._synced_state().N,
+                "ms_per_step": round(ms, 3),
+                "rebuild_interval": sim._seg_len,
+                "kinetic_temperature": round(float(thermo.kinetic_temperature), 3),
+            }
+            _stage(f"{name}: {line['value']} TPS")
+        except Exception as e:  # pragma: no cover - defensive
+            _stage(f"{name} FAILED: {type(e).__name__}: {e}")
+            line["extra"] = {"error": f"{type(e).__name__}: {e}"}
+        print(json.dumps(line), flush=True)
+
+
 def main():
     warm_steps = int(os.environ.get("BENCH_WARM", "200"))
     steps = int(os.environ.get("BENCH_STEPS", "1000"))
     n_side = int(os.environ.get("BENCH_NSIDE", "40"))
+
+    bench_extras()  # configs 2-5 first; the headline line prints LAST
 
     t0 = time.perf_counter()
     sim, lj = build_sim(N_side=n_side)
