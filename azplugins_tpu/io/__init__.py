@@ -25,7 +25,18 @@ __all__ = [
     "chunks_to_snapshot",
     "save_checkpoint",
     "load_checkpoint",
+    "export_gsd",
+    "GSDReader",
+    "GSDWriter",
 ]
+
+
+def __getattr__(name):  # lazy: keep gsd.py off the hot import path
+    if name in ("export_gsd", "GSDReader", "GSDWriter"):
+        from . import gsd as _gsd
+
+        return getattr(_gsd, name)
+    raise AttributeError(name)
 
 
 def snapshot_to_chunks(snapshot: Snapshot, dynamic_only: bool = False) -> dict:

@@ -1,0 +1,302 @@
+"""GSD v2 export: one-way aztraj -> GSD (HOOMD schema) conversion.
+
+The reference ecosystem reads/writes trajectories and checkpoints through
+HOOMD's GSD files (SURVEY §5 checkpoint/resume); aztraj is this engine's
+native container (io/aztraj.py, DEVIATIONS.md §10). This module closes the
+interop gap: ``export_gsd`` converts an aztraj trajectory into a GSD 2.0
+file with the ``hoomd`` schema (version 1.4) so an azplugins user's
+analysis stack (gsd.hoomd, freud, ovito, ...) can read the output.
+
+The GSD container is implemented natively from the published file layout
+(gsd.readthedocs.io "File layout", GSD spec v2):
+
+  * 256-byte header: magic ``0x65DF65DF65DF65DF``, index/namelist
+    locations + allocated sizes, schema + gsd versions, application and
+    schema name fields.
+  * data chunks appended anywhere in the file;
+  * index: array of 32-byte entries (frame, N rows, file location,
+    M columns, name id, type enum, flags), sorted by frame;
+  * v2 namelist: tightly packed null-terminated UTF-8 names, zero-padded
+    to a multiple of the 64-byte name segment size.
+
+No third-party ``gsd`` package exists in this environment (zero egress),
+so conformance is asserted structurally (magic/layout/round-trip through
+the independent reader below) rather than against the C implementation.
+
+HOOMD-schema chunks written per frame: configuration/{step,dimensions,
+box}, particles/{N,position,velocity,image,typeid,types,mass,charge,
+diameter,orientation,angmom,moment_inertia}, bonds/{N,typeid,group,types}.
+Frame 0 is complete; later frames carry only the dynamic chunks present
+in the source aztraj frame (GSD readers fall back to frame 0 for the
+rest, matching hoomd.write.GSD's ``dynamic`` behavior).
+"""
+
+from __future__ import annotations
+
+import struct
+
+import numpy as np
+
+__all__ = ["GSDWriter", "GSDReader", "export_gsd"]
+
+_MAGIC = 0x65DF65DF65DF65DF
+_GSD_VERSION = (2 << 16) | 0  # 2.0
+_HOOMD_SCHEMA_VERSION = (1 << 16) | 4  # hoomd schema 1.4
+_NAME_SIZE = 64
+_HEADER = struct.Struct("<QQQQQII64s64s80s")
+_INDEX_ENTRY = struct.Struct("<QQqIHBB")
+
+# GSD type enum (spec) -> numpy dtype
+_TYPES = {
+    1: np.dtype("<u1"),
+    2: np.dtype("<u2"),
+    3: np.dtype("<u4"),
+    4: np.dtype("<u8"),
+    5: np.dtype("<i1"),
+    6: np.dtype("<i2"),
+    7: np.dtype("<i4"),
+    8: np.dtype("<i8"),
+    9: np.dtype("<f4"),
+    10: np.dtype("<f8"),
+}
+_TYPE_CODES = {v: k for k, v in _TYPES.items()}
+
+
+def _as_gsd_array(arr) -> np.ndarray:
+    a = np.ascontiguousarray(arr)
+    if a.ndim == 0:
+        a = a.reshape(1)
+    if a.ndim > 2:
+        raise ValueError("GSD chunks are at most 2-D")
+    dt = a.dtype.newbyteorder("<")
+    if dt not in _TYPE_CODES:
+        raise TypeError(f"unsupported GSD dtype {a.dtype}")
+    return a.astype(dt, copy=False)
+
+
+class GSDWriter:
+    """Append frames of named (<= 2-D) arrays to a GSD 2.0 file."""
+
+    def __init__(self, path: str, application: str = "azplugins_tpu",
+                 schema: str = "hoomd",
+                 schema_version: int = _HOOMD_SCHEMA_VERSION):
+        self._f = open(path, "w+b")
+        self._application = application
+        self._schema = schema
+        self._schema_version = schema_version
+        self._names: list[str] = []
+        self._name_ids: dict[str, int] = {}
+        self._index: list[tuple] = []  # (frame, N, loc, M, id, type)
+        self._frame = 0
+        self._closed = False
+        self._f.write(b"\x00" * _HEADER.size)  # header written at close
+
+    def _name_id(self, name: str) -> int:
+        nid = self._name_ids.get(name)
+        if nid is None:
+            nid = len(self._names)
+            if nid > 0xFFFF:
+                raise ValueError("too many chunk names for GSD (uint16 id)")
+            self._name_ids[name] = nid
+            self._names.append(name)
+        return nid
+
+    def write_chunk(self, name: str, data) -> None:
+        a = _as_gsd_array(data)
+        N = a.shape[0]
+        M = a.shape[1] if a.ndim == 2 else 1
+        loc = self._f.tell()
+        self._f.write(a.tobytes())
+        self._index.append(
+            (self._frame, N, loc, M, self._name_id(name), _TYPE_CODES[a.dtype])
+        )
+
+    def end_frame(self) -> None:
+        self._frame += 1
+
+    def close(self) -> None:
+        if self._closed:
+            return
+        # v2 namelist: tightly packed null-terminated names, zero padded
+        # to whole 64-byte segments
+        raw = b"".join(n.encode() + b"\x00" for n in self._names)
+        pad = (-len(raw)) % _NAME_SIZE
+        raw += b"\x00" * pad
+        namelist_location = self._f.tell() if raw else 0
+        self._f.write(raw)
+        index_location = self._f.tell()
+        for entry in sorted(self._index, key=lambda e: e[0]):
+            frame, N, loc, M, nid, tc = entry
+            self._f.write(_INDEX_ENTRY.pack(frame, N, loc, M, nid, tc, 0))
+        header = _HEADER.pack(
+            _MAGIC,
+            index_location,
+            len(self._index),
+            namelist_location,
+            len(raw) // _NAME_SIZE,
+            self._schema_version,
+            _GSD_VERSION,
+            self._application.encode()[:63],
+            self._schema.encode()[:63],
+            b"",
+        )
+        self._f.seek(0)
+        self._f.write(header)
+        self._f.close()
+        self._closed = True
+
+    def __enter__(self):
+        return self
+
+    def __exit__(self, *exc):
+        self.close()
+
+
+class GSDReader:
+    """Minimal independent GSD v2 reader (round-trip validation + interop
+    with files other tools wrote; supports the fixed-slot v1 namelist
+    too)."""
+
+    def __init__(self, path: str):
+        self._f = open(path, "rb")
+        head = self._f.read(_HEADER.size)
+        (magic, index_loc, index_n, name_loc, name_n, schema_ver, gsd_ver,
+         app, schema, _res) = _HEADER.unpack(head)
+        if magic != _MAGIC:
+            raise OSError("not a GSD file (bad magic)")
+        self.application = app.split(b"\x00")[0].decode()
+        self.schema = schema.split(b"\x00")[0].decode()
+        self.schema_version = (schema_ver >> 16, schema_ver & 0xFFFF)
+        self.gsd_version = (gsd_ver >> 16, gsd_ver & 0xFFFF)
+        # namelist
+        self._names: list[str] = []
+        if name_loc:
+            self._f.seek(name_loc)
+            raw = self._f.read(name_n * _NAME_SIZE)
+            if self.gsd_version[0] >= 2:
+                off = 0
+                while off < len(raw):
+                    end = raw.index(b"\x00", off)
+                    if end == off:
+                        break
+                    self._names.append(raw[off:end].decode())
+                    off = end + 1
+            else:  # v1: fixed 64-byte slots
+                for k in range(name_n):
+                    s = raw[k * _NAME_SIZE:(k + 1) * _NAME_SIZE]
+                    s = s.split(b"\x00")[0]
+                    if s:
+                        self._names.append(s.decode())
+        # index (unused slots have location 0)
+        self._index = []
+        self._f.seek(index_loc)
+        for _ in range(index_n):
+            e = _INDEX_ENTRY.unpack(self._f.read(_INDEX_ENTRY.size))
+            if e[2] != 0:
+                self._index.append(e)
+        self.n_frames = 1 + max((e[0] for e in self._index), default=-1)
+
+    def chunks(self, frame: int) -> list[str]:
+        return [self._names[e[4]] for e in self._index if e[0] == frame]
+
+    def read_chunk(self, frame: int, name: str) -> np.ndarray:
+        for f, N, loc, M, nid, tc, _fl in self._index:
+            if f == frame and self._names[nid] == name:
+                dt = _TYPES[tc]
+                self._f.seek(loc)
+                a = np.frombuffer(self._f.read(N * M * dt.itemsize), dtype=dt)
+                return a.reshape(N, M) if M > 1 else a
+        raise KeyError(f"chunk {name!r} not in frame {frame}")
+
+    def close(self):
+        self._f.close()
+
+    def __enter__(self):
+        return self
+
+    def __exit__(self, *exc):
+        self.close()
+
+
+def _encode_typenames(types: list[str]) -> np.ndarray:
+    """hoomd-schema type names: int8 [K, max_len+1], zero padded UTF-8."""
+    if not types:
+        types = ["A"]
+    width = max(len(t.encode()) for t in types) + 1
+    out = np.zeros((len(types), width), np.int8)
+    for k, t in enumerate(types):
+        b = t.encode()
+        out[k, : len(b)] = np.frombuffer(b, np.int8)
+    return out
+
+
+def _hoomd_frame_chunks(timestep: int, chunks: dict, complete: bool) -> dict:
+    """Map an aztraj frame's named arrays to hoomd-schema GSD chunks."""
+    from . import _decode_types
+
+    pos = np.asarray(chunks["particles/position"], np.float32)
+    N = pos.shape[0]
+    out = {
+        "configuration/step": np.asarray([timestep], np.uint64),
+        "configuration/box": np.asarray(
+            chunks["configuration/box"], np.float32
+        ).reshape(6),
+        "particles/N": np.asarray([N], np.uint32),
+        "particles/position": pos,
+        "particles/velocity": np.asarray(chunks["particles/velocity"], np.float32),
+        "particles/image": np.asarray(chunks["particles/image"], np.int32),
+    }
+    if not complete:
+        return out
+    out["configuration/dimensions"] = np.asarray([3], np.uint8)
+    out["particles/typeid"] = np.asarray(chunks["particles/typeid"], np.uint32)
+    out["particles/types"] = _encode_typenames(
+        _decode_types(chunks["particles/types"])
+    )
+    out["particles/mass"] = np.asarray(chunks["particles/mass"], np.float32)
+    out["particles/charge"] = np.asarray(chunks["particles/charge"], np.float32)
+    out["particles/diameter"] = np.asarray(chunks["particles/diameter"], np.float32)
+    out["particles/orientation"] = np.asarray(
+        chunks["particles/orientation"], np.float32
+    )
+    if "particles/angmom" in chunks:
+        out["particles/angmom"] = np.asarray(chunks["particles/angmom"], np.float32)
+        out["particles/moment_inertia"] = np.asarray(
+            chunks["particles/moment_inertia"], np.float32
+        )
+    group = np.asarray(chunks.get("bonds/group", np.zeros((0, 2), np.int32)))
+    out["bonds/N"] = np.asarray([group.shape[0]], np.uint32)
+    if group.shape[0]:
+        out["bonds/group"] = group.astype(np.uint32)
+        out["bonds/typeid"] = np.asarray(chunks["bonds/typeid"], np.uint32)
+    bt = _decode_types(chunks.get("bonds/types", np.zeros(0, np.uint8)))
+    if bt:
+        out["bonds/types"] = _encode_typenames(bt)
+    return out
+
+
+def export_gsd(aztraj_path: str, gsd_path: str) -> int:
+    """Convert an aztraj trajectory to a GSD (hoomd schema) file.
+
+    Frame 0 is written complete; later frames carry the chunks the source
+    frame carried (dynamic-only aztraj frames stay dynamic-only — GSD
+    readers fall back to frame 0). Returns the number of frames written.
+    """
+    from .aztraj import TrajectoryReader
+
+    with TrajectoryReader(aztraj_path) as r, GSDWriter(gsd_path) as w:
+        first_complete = None
+        for i in range(len(r)):
+            ts, chunks = r.read_frame(i)
+            complete = "particles/typeid" in chunks
+            if i == 0 and not complete:
+                raise OSError(
+                    "aztraj frame 0 is not complete; cannot seed the GSD file"
+                )
+            if complete and first_complete is None:
+                first_complete = chunks
+            for name, data in _hoomd_frame_chunks(ts, chunks, complete).items():
+                w.write_chunk(name, data)
+            w.end_frame()
+        n = len(r)
+    return n

@@ -223,3 +223,59 @@ def test_table_writer(tmp_path):
     assert all(ln.split()[2] == "42" for ln in lines[1:])
     kT = float(lines[1].split()[1])
     assert 0.1 < kT < 3.0
+
+
+def test_gsd_export_roundtrip(tmp_path):
+    """aztraj -> GSD conversion: the written GSD 2.0 file round-trips
+    through the independent GSDReader with the hoomd schema fields and
+    dynamic-frame fallback semantics intact."""
+    from azplugins_tpu.io import export_gsd, GSDReader
+
+    azt = str(tmp_path / "traj.azt")
+    sim = _small_sim()
+    traj = az.write.Trajectory(trigger=az.trigger.Periodic(10), filename=azt)
+    sim.operations.writers.append(traj)
+    sim.run(35)
+    traj.close()
+    final = sim.state.get_snapshot()
+
+    gsd_path = str(tmp_path / "traj.gsd")
+    n = export_gsd(azt, gsd_path)
+    assert n == 3
+
+    # structural spec checks (magic is validated by the reader's open)
+    with GSDReader(gsd_path) as r:
+        assert r.schema == "hoomd"
+        assert r.schema_version == (1, 4)
+        assert r.gsd_version == (2, 0)
+        assert r.n_frames == 3
+        # frame 0 complete
+        names0 = set(r.chunks(0))
+        for want in (
+            "configuration/step", "configuration/box", "particles/N",
+            "particles/position", "particles/typeid", "particles/types",
+            "particles/mass", "bonds/N",
+        ):
+            assert want in names0, want
+        assert int(r.read_chunk(0, "configuration/step")[0]) == 10
+        assert int(r.read_chunk(0, "particles/N")[0]) == 125
+        assert r.read_chunk(0, "particles/position").shape == (125, 3)
+        # type names decode per the hoomd schema (int8 rows, zero padded)
+        trow = r.read_chunk(0, "particles/types")
+        assert bytes(trow[0].astype(np.uint8)).rstrip(b"\x00") == b"A"
+        # dynamic frames: position present, static chunks absent (readers
+        # fall back to frame 0)
+        names2 = set(r.chunks(2))
+        assert "particles/position" in names2
+        assert "particles/typeid" not in names2
+        assert int(r.read_chunk(2, "configuration/step")[0]) == 30
+        # the last frame's positions match the live state at step 30
+        with TrajectoryReader(azt) as ar:
+            _, raw = ar.read_frame(2)
+        np.testing.assert_array_equal(
+            r.read_chunk(2, "particles/position"),
+            raw["particles/position"],
+        )
+        box = r.read_chunk(0, "configuration/box")
+        np.testing.assert_allclose(box[:3], [6.0, 6.0, 6.0], rtol=1e-6)
+    assert final.particles.N == 125
