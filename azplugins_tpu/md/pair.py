@@ -73,6 +73,11 @@ class Pair(Force):
         return float(np.asarray(self._tbl["r_cut"]).max())
 
     def _compute(self, state, nbr_idx, timestep, ctx: SimContext, tbl):
+        # TEST-ORACLE ONLY: the padded-neighbor-list driver
+        # (ops/neighbor.py + ops/pair_force.py) survives as the
+        # independent reference path for parity tests. Simulation never
+        # dispatches it — the production path is _compute_dense (the
+        # dense cell-grid stencil). Do not benchmark this path.
         return pair_force(
             self._def.energy_force,
             state.position,

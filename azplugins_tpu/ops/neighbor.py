@@ -1,5 +1,10 @@
 """Cell list + Verlet neighbor list, TPU-style (static shapes, no atomics).
 
+TEST-ORACLE ONLY: Simulation never dispatches this path — the production
+hot path is the dense cell-grid engine (ops/dense.py). This module and
+ops/pair_force.py survive as the independent reference implementation the
+parity tests compare against. Do not benchmark it.
+
 Replaces the HOOMD cell-list/NeighborList substrate the reference rides on
 (consumed via ``nlist.Cell(buffer)`` at /root/reference/src/pair.py:18 and
 tests src/pytest/test_pair.py:337). Design:

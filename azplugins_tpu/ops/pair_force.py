@@ -1,5 +1,9 @@
 """Generic pair force driver over the padded neighbor list.
 
+TEST-ORACLE ONLY (except ForceResult and the shared helpers): Simulation
+dispatches _compute_dense (ops/dense.py), never this driver — see
+ops/neighbor.py. Kept as the independent parity-test reference path.
+
 TPU rebuild of HOOMD's ``PotentialPair<Evaluator>`` /
 ``PotentialPairDPDThermo<Evaluator>`` drivers the reference instantiates
 (SURVEY §3.2). Instead of one CUDA thread per particle, the whole

@@ -432,6 +432,20 @@ def main():
     _stage(f"kernel {kernel_ms:.3f} ms, rebin {rebin_ms:.3f} ms")
     n_builds = int(sim._meta.n_builds)
 
+    # BENCH_SPATIAL=1: re-time the same system with the spatial
+    # decomposition path active on a 1-device mesh — measures the
+    # slab-local ppermute-rebin's single-chip overhead vs the global sort
+    # (>1 real chip is not available through this relay)
+    spatial_ms = None
+    if os.environ.get("BENCH_SPATIAL") == "1":
+        from azplugins_tpu.parallel import make_mesh
+
+        sim.enable_spatial_decomposition(make_mesh(1))
+        sim.run(50)  # compile the spatial chunk
+        sim._seg_adapt = False
+        spatial_ms = time_steps(sim, max(steps // 5, 1), steps)
+        _stage(f"spatial(1-device) {spatial_ms:.3f} ms/step")
+
     # physics sanity so the number is honest: temperature near target
     import azplugins_tpu as az
 
@@ -454,6 +468,11 @@ def main():
             "rebuild_interval": sim._seg_len,
             "kinetic_temperature": round(float(kT), 3),
             "pallas_failed": pallas_failed,
+            **(
+                {"spatial_ms_per_step": round(spatial_ms, 3)}
+                if spatial_ms is not None
+                else {}
+            ),
             "baseline_note": "vs estimated HOOMD H100 1500 TPS (no published ref numbers)",
         },
     }
