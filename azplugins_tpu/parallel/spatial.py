@@ -104,8 +104,14 @@ def spatial_rebin(
         is_real = cid_l < C
         dest = jnp.where(is_real, cid_l // C_loc, d)
         stay = is_real & (dest == d)
-        go_l = is_real & (dest == (d - 1) % n)
-        go_r = is_real & (dest == (d + 1) % n)
+        # neighbor aliasing: with n == 1 both neighbors ARE this device
+        # (stay covers everything, both buffers must be empty), and with
+        # n == 2 the left and right neighbor are the SAME device — a
+        # migrant must ride exactly one buffer or it arrives twice.
+        # ~stay plus the left != right gate handles both degeneracies.
+        left, right = (d - 1) % n, (d + 1) % n
+        go_l = is_real & ~stay & (dest == left)
+        go_r = is_real & ~stay & (dest == right) & (n > 2)
         lost = is_real & ~(stay | go_l | go_r)
 
         # migrant buffers: payload + cid + gidx, cid=C marks empty rows

@@ -258,6 +258,30 @@ def test_spatial_droplet_workload_bitwise(tmp_path):
     ).read_bytes()
 
 
+@pytest.mark.parametrize("n_dev", [1, 2])
+def test_spatial_rebin_degenerate_meshes(n_dev):
+    """n=1 (both neighbors are self) and n=2 (left neighbor IS the right
+    neighbor) must neither duplicate migrants nor flag spurious overflow —
+    the round-3 regression: go_l/go_r double-classified every particle on
+    n=1 (perpetual overflow -> grow/recompile loop) and sent each n=2
+    migrant through BOTH buffers (silent duplication)."""
+    dense, meta, spec, N = _grid_system(seed=6)
+    rng = np.random.default_rng(8)
+    S = dense.position.shape[0]
+    dpos = jnp.asarray(rng.uniform(-1.0, 1.0, (S, 3)), jnp.float32)
+    dpos = jnp.where((dense.tag >= 0)[:, None], dpos, 0.0)
+    dense = dense.replace(position=dense.position + dpos)
+
+    ref_dense, ref_meta = D.rebin(dense, meta, spec, N)
+    mesh = make_mesh(n_dev)
+    got_dense, got_meta = spatial_rebin(
+        shard_state(dense, mesh), meta, spec, N, mesh=mesh
+    )
+    _assert_state_equal(ref_dense, got_dense)
+    assert bool(got_meta.overflow) == bool(ref_meta.overflow)
+    assert not bool(got_meta.overflow)
+
+
 def test_spatial_rebin_migrant_overflow_flag():
     """Tiny migrate_cap forces the migrant-buffer overflow path."""
     dense, meta, spec, N = _grid_system(seed=4)
