@@ -36,6 +36,20 @@ except Exception:  # pragma: no cover - defensive: plain-CPU environments
 
 assert jax.default_backend() == "cpu", "tests must run on CPU"
 
+# Persistent XLA compilation cache: the suite's wall-clock is dominated by
+# CPU-backend compiles of the fused step chunks (measured ~2/3 of a cold
+# run), and most tests recompile identical graphs run-over-run. The cache
+# survives across test sessions (and across CI jobs when the directory is
+# cached), cutting warm reruns severalfold. AZTPU_TEST_NO_COMPILE_CACHE=1
+# opts out (e.g. to measure cold-compile behavior).
+if not os.environ.get("AZTPU_TEST_NO_COMPILE_CACHE"):
+    _cache_dir = os.environ.get(
+        "AZTPU_TEST_COMPILE_CACHE",
+        os.path.join(os.path.dirname(__file__), ".jax_compile_cache"),
+    )
+    jax.config.update("jax_compilation_cache_dir", _cache_dir)
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
+
 import numpy as np  # noqa: E402
 import pytest  # noqa: E402
 
