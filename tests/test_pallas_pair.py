@@ -376,7 +376,10 @@ def test_pallas_masked_tilted_box(monkeypatch, want):
         )
 
 
-def _multi_type_system(T, N=500, L=12.0, seed=31, velocities=False):
+# interpret-mode cost scales with the grid (program count x subtile
+# body evals), not N: the 5^3 grid keeps these tests fast while the
+# single-type tests cover the larger-grid shapes
+def _multi_type_system(T, N=260, L=9.6, seed=31, velocities=False):
     rng = np.random.default_rng(seed)
     snap = az.Snapshot(N=N)
     snap.configuration.box = [L, L, L, 0, 0, 0]
@@ -420,10 +423,11 @@ def _plj_tables_T(T, seed=5):
     )
 
 
-# (4, "all") adds ~2.5 min of interpret-mode wall-clock over these three
-# for no new code path (T=4 hits the same one-hot branch as 3; "all"
-# accumulators are covered at T=3)
-@pytest.mark.parametrize("T,want", [(3, "force"), (3, "all"), (4, "force")])
+# two combos cover every distinct code path: (3, all) = one-hot stride 9
+# with the full accumulator set, (4, force) = stride 16 + the fast
+# force_divr closure; further combos re-cover the same branches at ~30s
+# of interpret-mode wall-clock each
+@pytest.mark.parametrize("T,want", [(3, "all"), (4, "force")])
 def test_pallas_multi_types_one_hot(monkeypatch, T, want):
     """T in (3, 4): per-pair parameters via the exact one-hot contraction
     (_table_scalars) match the XLA one-hot path, including a disabled
@@ -494,7 +498,7 @@ def test_pallas_aniso_two_types(monkeypatch):
     from azplugins_tpu.ops.evaluators.aniso import ANISO_PAIR_POTENTIALS
 
     rng = np.random.default_rng(43)
-    dense, spec = _multi_type_system(2, N=400, seed=43)
+    dense, spec = _multi_type_system(2, seed=43)
     S = dense.position.shape[0]
     q = rng.normal(size=(S, 4))
     q /= np.linalg.norm(q, axis=1, keepdims=True)
