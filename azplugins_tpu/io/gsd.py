@@ -285,7 +285,6 @@ def export_gsd(aztraj_path: str, gsd_path: str) -> int:
     from .aztraj import TrajectoryReader
 
     with TrajectoryReader(aztraj_path) as r, GSDWriter(gsd_path) as w:
-        first_complete = None
         for i in range(len(r)):
             ts, chunks = r.read_frame(i)
             complete = "particles/typeid" in chunks
@@ -293,8 +292,6 @@ def export_gsd(aztraj_path: str, gsd_path: str) -> int:
                 raise OSError(
                     "aztraj frame 0 is not complete; cannot seed the GSD file"
                 )
-            if complete and first_complete is None:
-                first_complete = chunks
             for name, data in _hoomd_frame_chunks(ts, chunks, complete).items():
                 w.write_chunk(name, data)
             w.end_frame()

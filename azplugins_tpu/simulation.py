@@ -236,6 +236,15 @@ class Simulation:
     @timestep.setter
     def timestep(self, value: int):
         self._timestep = int(value)
+        # setting the clock at/past the scheduled tune point (checkpoint
+        # restart / resume) declares the tune already happened in the
+        # earlier process — don't re-fire it with a surprise recompile
+        # and rebuild-schedule reset mid-trajectory
+        if (
+            self.auto_tune_after is not None
+            and self._timestep >= self.auto_tune_after
+        ):
+            self._auto_tuned = True
 
     def _invalidate(self):
         self._attached = False
@@ -639,7 +648,12 @@ class Simulation:
                 self._grid_spec is not None
                 and self._grid_spec.dims[0] % n != 0
             ):
-                # regrid with the slab-aligned Dx at the next attach
+                # regrid with the slab-aligned Dx at the next attach;
+                # pull the current positions out of the dense arrays FIRST
+                # (_drop_dense clears the stale flag, so dropping an
+                # unsynced dense state would silently roll the trajectory
+                # back to the last sync)
+                self._synced_state()
                 self._invalidate()
                 self._drop_dense()
                 return

@@ -28,8 +28,14 @@ run() {
     return $rc
 }
 
-# 1. compiled-Mosaic parity of every Pallas path at production shapes
-run burst_check timeout 3000 python -u scripts/tpu_burst_check.py
+# 1. compiled-Mosaic parity of every Pallas path at production shapes.
+# Bench numbers from a build whose kernels fail parity are worthless:
+# everything below is gated on this rc.
+if ! run burst_check timeout 3000 python -u scripts/tpu_burst_check.py; then
+    echo "burst check FAILED; not benchmarking a non-parity build" \
+        | tee -a "$OUT/summary.txt" >&2
+    exit 1
+fi
 
 # 2. the headline + all-config benchmark (the driver-grade numbers)
 run bench timeout 3000 python -u bench.py

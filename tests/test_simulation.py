@@ -132,6 +132,30 @@ def test_auto_tune_fires_and_preserves_chunking(lattice_snapshot_factory):
     assert sim3._auto_tuned
 
 
+def test_auto_tune_not_refired_on_resume(lattice_snapshot_factory):
+    """Setting the clock at/past auto_tune_after (checkpoint resume) must
+    not re-fire the scheduled tune in the new process — the continuous
+    run tuned back at the threshold, and a surprise mid-trajectory retune
+    would reset the rebuild schedule."""
+    sim, _, _ = _lj_fluid_sim(lattice_snapshot_factory, kT=1.0, seed=3)
+    sim.auto_tune_after = 60
+    sim.timestep = 100
+    assert sim._auto_tuned
+    calls = []
+    orig = sim.tune_cell_capacity
+    sim.tune_cell_capacity = lambda *a, **k: (calls.append(1), orig(*a, **k))[1]
+    sim.run(10)
+    assert not calls
+    # resuming BEFORE the threshold still tunes at it, like the
+    # continuous run would
+    sim2, _, _ = _lj_fluid_sim(lattice_snapshot_factory, kT=1.0, seed=3)
+    sim2.auto_tune_after = 60
+    sim2.timestep = 30
+    assert not sim2._auto_tuned
+    sim2.run(40)
+    assert sim2._auto_tuned
+
+
 def test_run_zero_then_observables(two_particle_snapshot_factory, simulation_factory):
     sim = simulation_factory(two_particle_snapshot_factory(d=1.0, L=20))
     pot = az.pair.Hertz(nlist=az.md.nlist.Cell(buffer=0.4), default_r_cut=2.0)

@@ -174,6 +174,28 @@ def test_spatial_snaps_unaligned_dx(monkeypatch):
     np.testing.assert_array_equal(ref_pos, got_pos)
 
 
+def test_enable_spatial_midrun_keeps_trajectory():
+    """Enabling spatial decomposition on an incommensurate grid mid-run
+    takes the regrid branch — which must NOT roll the trajectory back to
+    the last host sync (regression: the branch dropped the dense state
+    without syncing first, silently discarding steps)."""
+    ref = _slab_sim(seed=27)
+    ref.run(50)
+    ref_pos = np.asarray(ref.state.get_snapshot().particles.position)
+
+    sim = _slab_sim(seed=27)
+    sim.run(30)
+    # host sync at t=30: without the fix, this is what the state rolls
+    # back to when the regrid branch drops the dense arrays
+    _ = np.asarray(sim.state.get_snapshot().particles.position)
+    sim.run(20)
+    sim.enable_spatial_decomposition(make_mesh(3))  # dims[0]=8 % 3 != 0
+    assert sim.timestep == 50
+    np.testing.assert_array_equal(
+        np.asarray(sim.state.get_snapshot().particles.position), ref_pos
+    )
+
+
 def _droplet_workload_sim(traj_path=None):
     """Evaporating-droplet-style composition (BASELINE config 5 shrunk to
     the 8-slab grid): pair + moving planar barrier + ParticleEvaporator +
