@@ -19,7 +19,12 @@ from azplugins_tpu.ops.evaluators.pair import PAIR_POTENTIALS
 from azplugins_tpu.ops.evaluators.aniso import ANISO_PAIR_POTENTIALS
 
 
-def build(N_side=24, rho=0.85, types=1, orient=False, vel=False, seed=5):
+_NSIDE = int(os.environ.get("BURST_NSIDE", "24"))  # small for CPU smoke
+
+
+def build(N_side=None, rho=0.85, types=1, orient=False, vel=False, seed=5):
+    if N_side is None:
+        N_side = _NSIDE
     N = N_side**3
     L = (N / rho) ** (1 / 3)
     a = L / N_side
@@ -114,9 +119,25 @@ def main():
     got = jax.block_until_ready(run_pair(dense3, spec3, t3, rc3, "shift", "all", 3))
     cmp("pair 3type", ref, got, ("force", "energy", "virial"))
 
+    # four types (the 4th one-hot column + the _PALLAS_MAX_T boundary)
+    dense4, spec4 = build(types=4, seed=23)
+    rng4 = np.random.default_rng(23)
+    t4 = {}
+    for k in prec:
+        m = rng4.uniform(0.5, 1.5, (4, 4)) * float(prec[k])
+        t4[k] = jnp.asarray((m + m.T) / 2, jnp.float32)
+    rcm4 = rng4.uniform(2.2, 3.0, (4, 4))
+    rc4 = jnp.asarray((rcm4 + rcm4.T) / 2, jnp.float32)
+    os.environ["AZTPU_PALLAS"] = "0"
+    ref = jax.block_until_ready(run_pair(dense4, spec4, t4, rc4, "shift", "all", 4))
+    os.environ["AZTPU_PALLAS"] = "1"
+    got = jax.block_until_ready(run_pair(dense4, spec4, t4, rc4, "shift", "all", 4))
+    cmp("pair 4type", ref, got, ("force", "energy", "virial"))
+
     # masked (tilted box)
     rng = np.random.default_rng(3)
-    Nt = 20**3
+    # r_list ≈ 3.4 needs >= 3 cells per axis: floor the tilted system size
+    Nt = max(_NSIDE - 4, 12) ** 3
     Lt = (Nt / 0.85) ** (1 / 3)
     snapt = az.Snapshot(N=Nt)
     snapt.configuration.box = [Lt, Lt, Lt, 0.25, -0.1, 0.15]
@@ -165,6 +186,27 @@ def main():
     os.environ["AZTPU_PALLAS"] = "1"
     got = jax.block_until_ready(run_dpd())
     cmp("dpd", ref, got, ("force",))
+
+    # DPD, two types (BILINEAR tables — a different in-kernel param path
+    # than the T>=3 one-hot contraction below)
+    dd2, ds2 = build(types=2, vel=True, seed=15)
+    tdpd2 = {"A": jnp.asarray([[25.0, 18.0], [18.0, 30.0]], jnp.float32),
+             "gamma": jnp.asarray([[4.5, 3.0], [3.0, 5.0]], jnp.float32),
+             "s": jnp.asarray([[0.5, 1.0], [1.0, 2.0]], jnp.float32)}
+    rcd2 = jnp.asarray([[1.0, 0.9], [0.9, 1.1]], jnp.float32)
+
+    def run_dpd2():
+        jb = D.make_jblocks(dd2, ds2, need_velocity=True, need_tag=True,
+                            half=True, need_typeid=True)
+        return D.dense_dpd_force(dd2, jb, ds2, tdpd2, rcd2, kT=1.0, dt=0.01,
+                                 seed=3, timestep=jnp.int32(50),
+                                 want="force", masked=False)
+
+    os.environ["AZTPU_PALLAS"] = "0"
+    ref = jax.block_until_ready(run_dpd2())
+    os.environ["AZTPU_PALLAS"] = "1"
+    got = jax.block_until_ready(run_dpd2())
+    cmp("dpd 2type", ref, got, ("force",))
 
     # DPD, three types (one-hot tables + in-kernel Threefry)
     dd3, ds3 = build(types=3, vel=True, seed=17)
@@ -230,6 +272,32 @@ def main():
     os.environ["AZTPU_PALLAS"] = "1"
     got = jax.block_until_ready(run_aniso2())
     cmp("aniso 2type", ref, got, ("force", "torque"))
+
+    # aniso, three types (one-hot contraction on the quaternion planes);
+    # every table entry is a VALID parameter set — table[i][j] picks one of
+    # three precomputed sets by (i+j) % 3, which is symmetric
+    da3, sa3 = build(types=3, orient=True, seed=29)
+    precb = ANISO_PAIR_POTENTIALS["TwoPatchMorse"].precompute(
+        dict(M_d=1.2, M_r=0.15, r_eq=0.95, omega=12.0, alpha=0.45,
+             repulsion=True))
+    psets = [preca, preca2, precb]
+    ta3 = {k: jnp.asarray([[float(psets[(i + j) % 3][k]) for j in range(3)]
+                           for i in range(3)], jnp.float32) for k in preca}
+    rcs = [1.6, 1.45, 1.5]
+    rca3 = jnp.asarray([[rcs[(i + j) % 3] for j in range(3)]
+                        for i in range(3)], jnp.float32)
+
+    def run_aniso3():
+        jb = D.make_jblocks(da3, sa3, need_quat=True, half=True,
+                            need_typeid=True)
+        return D.dense_aniso_force(efa, da3, jb, sa3, ta3, rca3, mode="shift",
+                                   want="force", masked=False)
+
+    os.environ["AZTPU_PALLAS"] = "0"
+    ref = jax.block_until_ready(run_aniso3())
+    os.environ["AZTPU_PALLAS"] = "1"
+    got = jax.block_until_ready(run_aniso3())
+    cmp("aniso 3type", ref, got, ("force", "torque"))
     print("TPU BURST CHECK OK", flush=True)
 
 
