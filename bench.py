@@ -80,7 +80,10 @@ def build_sim(N_side=40, rho=0.85, seed=12345):
 
     sim = az.Simulation(seed=seed)
     sim.create_state_from_snapshot(snap)
-    cell = az.md.nlist.Cell(buffer=0.4)
+    # BENCH_BUFFER: Verlet buffer sweep knob (scripts/sweep_kernel.py) —
+    # a larger buffer lengthens the rebuild interval but widens r_list
+    # (more pair slots in the kernel); 0.4 is the documented default
+    cell = az.md.nlist.Cell(buffer=float(os.environ.get("BENCH_BUFFER", "0.4")))
     lj = az.pair.PerturbedLennardJones(nlist=cell, default_r_cut=3.0, mode="none")
     lj.params[("A", "A")] = dict(epsilon=1.0, sigma=1.0, attraction_scale_factor=0.5)
     lang = az.md.methods.Langevin(kT=1.0, default_gamma=0.1)
