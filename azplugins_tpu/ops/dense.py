@@ -334,9 +334,156 @@ def _state_from_payload(out, layout: tuple, template: State, box: Box) -> State:
     )
 
 
+def _global_assembly(packed_in, cid, n, spec: "GridSpec", layout: tuple):
+    """Full fused-key sort of all n rows -> ([S, K] payload, valid, overflow).
+
+    Sort, then one contiguous row-gather of the packed payload: TPU sort
+    compile time scales superlinearly in operand count (measured: 2
+    operands ~15s, 26 operands >10min at 128k), while a row-major gather
+    of [n, K] compiles in <1s and runs at copy speed. When the combined
+    (cid, idx) key fits int32 a single fused key sorts ~2x faster still.
+    """
+    C = spec.n_cells
+    cap = spec.cap
+    S = spec.S
+    idx = jnp.arange(n, dtype=jnp.int32)
+    # bit-packed fused key: cid in the high bits, row index low. Shift/mask
+    # recovery is exact integer math — int32 floor division here would be
+    # lowered through f32 on TPU and can round off by one near exact
+    # multiples, scattering particles into the wrong cell.
+    idx_bits = max(1, (n - 1).bit_length())
+    use_fused = os.environ.get("AZTPU_FUSED_KEY", "1") != "0"
+    if use_fused and (C + 1) << idx_bits < 2**31:
+        key = (cid << jnp.int32(idx_bits)) | idx
+        key_s = jax.lax.sort(key)
+        cid_s = key_s >> jnp.int32(idx_bits)
+        perm = key_s & jnp.int32((1 << idx_bits) - 1)
+    else:
+        cid_s, perm = jax.lax.sort([cid, idx], num_keys=1, is_stable=True)
+    packed_sorted = jnp.take(packed_in, perm, axis=0)
+
+    # per-cell start offsets in the sorted order (few queries -> the
+    # binary search is cheap here, unlike a per-particle searchsorted)
+    start = jnp.searchsorted(cid_s, jnp.arange(C + 1, dtype=jnp.int32))
+    start = start.astype(jnp.int32)
+    counts = start[1:] - start[:-1]  # [C]
+    overflow = jnp.any(counts > cap)
+
+    # slot-side source rows: slot (c, r) <- sorted row start[c] + r
+    rank_b = jax.lax.broadcasted_iota(jnp.int32, (C, cap), 1)
+    src = start[:C, None] + rank_b
+    valid_slot = rank_b < jnp.minimum(counts, cap)[:, None]
+    src = jnp.where(valid_slot, src, n).reshape(S)  # n = default row
+
+    default_row = _payload_default_row(layout)
+    packed_pad = jnp.concatenate([packed_sorted, default_row], axis=0)
+    out = jnp.take(packed_pad, src, axis=0)  # [S, K] row gather
+    return out, valid_slot.reshape(S), overflow
+
+
+def _incremental_ok(spec: "GridSpec") -> bool:
+    """Static eligibility of the incremental rebin for this grid shape."""
+    if os.environ.get("AZTPU_INCREMENTAL_REBIN", "0") != "1":
+        return False
+    S = spec.S
+    C = spec.n_cells
+    sbits = max(1, (S - 1).bit_length())
+    # the migrant key (cid << sbits) | prev_slot and the per-cell key
+    # (prev_slot) must stay below the 2^30 invalid-marker band
+    return S < 2**30 and (C << sbits) < 2**30
+
+
+def _incremental_assembly(packed, cid, valid, spec: "GridSpec", layout: tuple):
+    """Migrant-local rebin: per-cell lane sort + migrant-only global sort.
+
+    Between rebuilds most particles stay in their cell, and the slot
+    layout the global rebin produces orders each cell's members by INPUT
+    SLOT INDEX (the fused key's low bits). Stays already sit in that
+    order, so only the boundary-crossers ("migrants", typically ~10% at
+    production drift) need a global sort; each cell then merges its stays
+    with its arrivals by one sort along the lane axis of [C, cap + Mc]
+    with the key prev_slot*128 + src_ptr — a ~3-8x smaller sort volume
+    than the S-row global sort (BENCH.md: rebin is the second-largest
+    step-time term). The result is BITWISE identical to
+    ``_global_assembly``: same membership, same order, same overflow
+    truncation (both keep the cap smallest input rows per cell).
+
+    Falls back to the global sort via ``lax.cond`` when the migrant
+    buffer (S // 4) or any per-cell arrival run (Mc) would overflow —
+    correctness never depends on the capacity heuristics.
+    """
+    S = spec.S
+    C = spec.n_cells
+    cap = spec.cap
+    Mc = min(int(os.environ.get("AZTPU_REBIN_MC", "16")), cap)
+    Mbuf = max(1024, S // 4)
+    sbits = max(1, (S - 1).bit_length())
+    BIG = jnp.int32(1 << 30)
+
+    cell_of = jax.lax.broadcasted_iota(jnp.int32, (C, cap), 0).reshape(S)
+    stay = valid & (cid == cell_of)
+    mig = valid & ~stay  # valid rows always have cid < C
+
+    # pack migrants by global rank (gather-only: the j-th migrant's row is
+    # found by binary search on the inclusive cumsum — no row scatter)
+    cum = jnp.cumsum(mig.astype(jnp.int32))
+    n_mig = cum[S - 1]
+    j = jnp.arange(Mbuf, dtype=jnp.int32)
+    srcj = jnp.searchsorted(cum, j + 1, side="left").astype(jnp.int32)
+    jvalid = j < n_mig
+    srcj = jnp.where(jvalid, srcj, S)
+    cid_pad = jnp.concatenate([cid, jnp.full((1,), C, jnp.int32)])
+    cidj = jnp.take(cid_pad, srcj)
+    keyj = jnp.where(jvalid, (cidj << sbits) | srcj, BIG + j)
+    keys_sorted = jax.lax.sort(keyj)  # by (dest cell, input slot)
+    prevj = keys_sorted & jnp.int32((1 << sbits) - 1)
+    start_m = jnp.searchsorted(
+        keys_sorted, jnp.arange(C + 1, dtype=jnp.int32) << sbits
+    ).astype(jnp.int32)
+    cnt_m = start_m[1:] - start_m[:-1]  # arrivals per destination cell
+    ok = (n_mig <= Mbuf) & (jnp.max(cnt_m) <= Mc)
+
+    default_row = _payload_default_row(layout)
+    packed_pad = jnp.concatenate([packed, default_row], axis=0)
+
+    def incr(_):
+        # deliver each cell's arrival run into [C, Mc] lanes (row gather)
+        jj = jax.lax.broadcasted_iota(jnp.int32, (C, Mc), 1)
+        didx = start_m[:C, None] + jj
+        dvalid = jj < jnp.minimum(cnt_m, Mc)[:, None]
+        prev_pad = jnp.concatenate([prevj, jnp.zeros((1,), jnp.int32)])
+        dprev = jnp.take(prev_pad, jnp.where(dvalid, didx, Mbuf))
+
+        # one lane-axis sort per cell over stays + arrivals, keyed on the
+        # input slot index (the global fused key restricted to the cell).
+        # The key IS the source row: a stay's own slot and an arrival's
+        # previous slot are unique across the row (an arrival's previous
+        # slot lies in a different cell's slot range)
+        lane = jax.lax.broadcasted_iota(jnp.int32, (C, cap), 1)
+        slotidx = jnp.arange(S, dtype=jnp.int32).reshape(C, cap)
+        stay2 = stay.reshape(C, cap)
+        korig = jnp.where(stay2, slotidx, BIG + lane)
+        kdel = jnp.where(dvalid, dprev, BIG + cap + jj)
+        rows = jnp.concatenate([korig, kdel], axis=1)  # [C, cap + Mc]
+        rows_s = jax.lax.sort(rows, dimension=1)
+        head = rows_s[:, :cap]
+        isreal = head < BIG
+        src = jnp.where(isreal, head, S).reshape(S)
+        out = jnp.take(packed_pad, src, axis=0)
+        # a real member pushed past cap = the cell overflowed (same
+        # truncation the global path applies: cap smallest input rows win)
+        ovf = jnp.any(rows_s[:, cap:] < BIG)
+        return out, isreal.reshape(S), ovf
+
+    def glob(_):
+        return _global_assembly(packed, cid, S, spec, layout)
+
+    return jax.lax.cond(ok, incr, glob, None)
+
+
 def _bin_to_slots(
     state: State, spec: GridSpec, N_tags: int, fields: tuple,
-    need_slot_of: bool = True,
+    need_slot_of: bool = True, incremental: bool = False,
 ):
     """Core binning: any-order state (n rows) -> slot-order state (S rows).
 
@@ -366,49 +513,21 @@ def _bin_to_slots(
     cid = jnp.where(valid, cid, C)
 
     layout = _payload_layout(fields)
-    # Sort, then one contiguous row-gather of the packed payload: TPU sort
-    # compile time scales superlinearly in operand count (measured: 2
-    # operands ~15s, 26 operands >10min at 128k), while a row-major gather
-    # of [n, K] compiles in <1s and runs at copy speed. When the combined
-    # (cid, idx) key fits int32 a single fused key sorts ~2x faster still.
-    idx = jnp.arange(n, dtype=jnp.int32)
-    # bit-packed fused key: cid in the high bits, row index low. Shift/mask
-    # recovery is exact integer math — int32 floor division here would be
-    # lowered through f32 on TPU and can round off by one near exact
-    # multiples, scattering particles into the wrong cell.
-    idx_bits = max(1, (n - 1).bit_length())
-    use_fused = os.environ.get("AZTPU_FUSED_KEY", "1") != "0"
-    if use_fused and (C + 1) << idx_bits < 2**31:
-        key = (cid << jnp.int32(idx_bits)) | idx
-        key_s = jax.lax.sort(key)
-        cid_s = key_s >> jnp.int32(idx_bits)
-        perm = key_s & jnp.int32((1 << idx_bits) - 1)
-    else:
-        cid_s, perm = jax.lax.sort([cid, idx], num_keys=1, is_stable=True)
     packed_in = _pack_payload(state, layout)  # [n, K] int32 (floats bitcast)
-    packed_sorted = jnp.take(packed_in, perm, axis=0)
-
-    # per-cell start offsets in the sorted order (few queries -> the
-    # binary search is cheap here, unlike a per-particle searchsorted)
-    start = jnp.searchsorted(cid_s, jnp.arange(C + 1, dtype=jnp.int32))
-    start = start.astype(jnp.int32)
-    counts = start[1:] - start[:-1]  # [C]
-    overflow = jnp.any(counts > cap)
-
-    # slot-side source rows: slot (c, r) <- sorted row start[c] + r
-    rank_b = jax.lax.broadcasted_iota(jnp.int32, (C, cap), 1)
-    src = start[:C, None] + rank_b
-    valid_slot = rank_b < jnp.minimum(counts, cap)[:, None]
-    src = jnp.where(valid_slot, src, n).reshape(S)  # n = default row
-
-    default_row = _payload_default_row(layout)
-    packed_pad = jnp.concatenate([packed_sorted, default_row], axis=0)
-    out = jnp.take(packed_pad, src, axis=0)  # [S, K] row gather
+    if incremental and n == S and _incremental_ok(spec):
+        # slot-ordered input (rebin): migrant-local path, bitwise-equal
+        out, valid_slot, overflow = _incremental_assembly(
+            packed_in, cid, valid, spec, layout
+        )
+    else:
+        out, valid_slot, overflow = _global_assembly(
+            packed_in, cid, n, spec, layout
+        )
 
     # empty-slot x sentinels are per-slot values (the single default row
     # cannot carry them); splice them into the x column (payload column 0)
     x = jnp.where(
-        valid_slot.reshape(S),
+        valid_slot,
         out[:, 0].view(jnp.float32),
         _sentinel_x(S, state.box, spec),
     )
@@ -442,7 +561,9 @@ def densify(state: State, spec: GridSpec, fields: tuple = ALL_FIELDS,
 
 def rebin(dense: State, meta: GridMeta, spec: GridSpec, N_tags: int,
           fields: tuple = ALL_FIELDS, need_slot_of: bool = True):
-    new_dense, new_meta = _bin_to_slots(dense, spec, N_tags, fields, need_slot_of)
+    new_dense, new_meta = _bin_to_slots(
+        dense, spec, N_tags, fields, need_slot_of, incremental=True
+    )
     new_meta = new_meta.replace(
         overflow=new_meta.overflow | meta.overflow,
         n_builds=meta.n_builds + 1,

@@ -44,7 +44,12 @@ run bench timeout 3000 python -u bench.py
 BENCH_CONFIGS=0 BENCH_SPATIAL=1 run bench_spatial \
     timeout 3000 python -u bench.py
 
-# 4. kernel schedule sweep (H x CB) — only worth reading if bench ran
+# 4. incremental-rebin ablation: bitwise-equal by test, faster or slower
+# only the chip can say (flag stays off by default until this reads faster)
+AZTPU_INCREMENTAL_REBIN=1 BENCH_CONFIGS=0 run bench_incr \
+    timeout 3000 python -u bench.py || true
+
+# 5. kernel schedule sweep (H x CB) — only worth reading if bench ran
 run sweep timeout 3000 python -u scripts/sweep_kernel.py || true
 
 echo "done; logs in $OUT" | tee -a "$OUT/summary.txt"
