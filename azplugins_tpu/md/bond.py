@@ -15,7 +15,7 @@ from ..ops.dense import dense_bond_force
 from ..ops.evaluators import BOND_POTENTIALS
 from .force import Force, SimContext, tables_to_device
 
-__all__ = ["Bond", "DoubleWell", "Quartic"]
+__all__ = ["Bond", "DoubleWell", "FENEWCA", "Harmonic", "Quartic"]
 
 
 class Bond(Force):
@@ -74,3 +74,21 @@ class Quartic(Bond):
     """
 
     _evaluator_name = "Quartic"
+
+
+class Harmonic(Bond):
+    """Harmonic spring U = k/2 (r - r0)^2 (HOOMD-core substrate, SURVEY
+    §2.13) — the default backbone bond in azplugins polymer scripts.
+    """
+
+    _evaluator_name = "Harmonic"
+
+
+class FENEWCA(Bond):
+    """Kremer-Grest FENE spring + WCA core on the delta-shifted distance
+    (HOOMD-core substrate, SURVEY §2.13).
+
+    U = -k/2 R0^2 ln(1 - ((r - delta)/R0)^2) + WCA(eps, sigma; r - delta).
+    """
+
+    _evaluator_name = "FENEWCA"

@@ -29,9 +29,13 @@ __all__ = [
     "Colloid",
     "DPDGeneralWeight",
     "ExpandedYukawa",
+    "Gaussian",
     "Hertz",
+    "LJ",
+    "Morse",
     "PerturbedLennardJones",
     "TwoPatchMorse",
+    "Yukawa",
 ]
 
 
@@ -145,6 +149,45 @@ class PerturbedLennardJones(Pair):
     """
 
     _evaluator_name = "PerturbedLennardJones"
+
+
+class LJ(Pair):
+    """Standard 12-6 Lennard-Jones (HOOMD-core substrate, SURVEY §2.13).
+
+    azplugins scripts mix plugin potentials with HOOMD's own md.pair
+    classes; this is the textbook U = 4 eps ((sigma/r)^12 - (sigma/r)^6)
+    so those scripts port without rewriting the solvent model. Gets the
+    Pallas fast path (incl. the approximate-reciprocal force variant).
+    """
+
+    _evaluator_name = "LJ"
+
+
+class Morse(Pair):
+    """Isotropic Morse potential (HOOMD-core substrate, SURVEY §2.13).
+
+    U = D0 (exp(-2 alpha (r - r0)) - 2 exp(-alpha (r - r0))).
+    """
+
+    _evaluator_name = "Morse"
+
+
+class Gaussian(Pair):
+    """Gaussian-core potential (HOOMD-core substrate, SURVEY §2.13).
+
+    U = eps exp(-r^2 / (2 sigma^2)).
+    """
+
+    _evaluator_name = "Gaussian"
+
+
+class Yukawa(Pair):
+    """Screened Coulomb U = eps exp(-kappa r) / r (HOOMD-core substrate,
+    SURVEY §2.13). The plugin's ExpandedYukawa with delta = 0; kept as
+    its own class so hoomd.md.pair.Yukawa scripts port verbatim.
+    """
+
+    _evaluator_name = "Yukawa"
 
 
 class DPDGeneralWeight(Pair):

@@ -14,8 +14,12 @@ import dataclasses
 from typing import Callable
 
 import jax.numpy as jnp
+import numpy as np
 
-__all__ = ["BondPotentialDef", "BOND_POTENTIALS", "double_well", "quartic"]
+__all__ = [
+    "BondPotentialDef", "BOND_POTENTIALS", "double_well", "quartic",
+    "harmonic", "fenewca",
+]
 
 
 @dataclasses.dataclass(frozen=True)
@@ -105,6 +109,64 @@ def quartic(rsq, p):
     return jnp.where(valid, e, 0.0), jnp.where(valid, f, 0.0)
 
 
+# ---------------------------------------------------------------------------
+# HOOMD-core substrate bonds (SURVEY §2.13): azplugins polymer scripts
+# bond their backbones with HOOMD's harmonic / FENEWCA alongside the
+# plugin's scissile bonds. Textbook formulas re-derived (Fraenkel spring;
+# Kremer-Grest FENE+WCA).
+# ---------------------------------------------------------------------------
+def _harmonic_precompute(t: dict) -> dict:
+    return {"k": t["k"], "r0": t["r0"]}
+
+
+def harmonic(rsq, p):
+    r = jnp.sqrt(rsq)
+    dr = r - p["r0"]
+    e = 0.5 * p["k"] * dr * dr
+    f = -p["k"] * dr / r  # F_a = f * (r_a - r_b): negative = attractive
+    active = p["k"] != 0
+    return jnp.where(active, e, 0.0), jnp.where(active, f, 0.0)
+
+
+def _fenewca_precompute(t: dict) -> dict:
+    sigma_6 = t["sigma"] ** 6
+    eps4 = 4.0 * t["epsilon"]
+    return {
+        "k": t["k"],
+        "R0": t["R0"],
+        "delta": t["delta"],
+        "lj1": eps4 * sigma_6 * sigma_6,
+        "lj2": eps4 * sigma_6,
+        "epsilon": t["epsilon"],
+        "rwcasq": np.cbrt(2.0) * t["sigma"] ** 2 if t["sigma"] else 0.0,
+    }
+
+
+def fenewca(rsq, p):
+    valid = p["R0"] != 0
+    R0 = jnp.where(valid, p["R0"], 1.0)
+    r = jnp.sqrt(rsq)
+    rs = r - p["delta"]
+    rs_safe = jnp.where(rs == 0, 1e-20, rs)
+
+    # FENE spring on the shifted distance, diverging at rs = R0
+    x2 = (rs / R0) ** 2
+    one_m = jnp.maximum(1.0 - x2, 1e-7)
+    e = -0.5 * p["k"] * R0 * R0 * jnp.log(one_m)
+    f = -p["k"] * rs / one_m / r
+
+    # WCA core on the shifted distance, cut at 2^(1/6) sigma
+    rs2 = rs_safe * rs_safe
+    r2inv = 1.0 / rs2
+    r6inv = r2inv * r2inv * r2inv
+    wca_on = (p["lj1"] != 0) & (rs2 < p["rwcasq"])
+    f_wca = r6inv * (12.0 * p["lj1"] * r6inv - 6.0 * p["lj2"]) / rs_safe / r
+    e_wca = r6inv * (p["lj1"] * r6inv - p["lj2"]) + p["epsilon"]
+    e = e + jnp.where(wca_on, e_wca, 0.0)
+    f = f + jnp.where(wca_on, f_wca, 0.0)
+    return jnp.where(valid, e, 0.0), jnp.where(valid, f, 0.0)
+
+
 BOND_POTENTIALS = {
     "DoubleWell": BondPotentialDef(
         name="DoubleWell",
@@ -126,5 +188,21 @@ BOND_POTENTIALS = {
         },
         precompute=_quartic_precompute,
         energy_force=quartic,
+    ),
+    # HOOMD-core substrate set (SURVEY §2.13)
+    "Harmonic": BondPotentialDef(
+        name="Harmonic",
+        spec={"k": float, "r0": float},
+        precompute=_harmonic_precompute,
+        energy_force=harmonic,
+    ),
+    "FENEWCA": BondPotentialDef(
+        name="FENEWCA",
+        spec={
+            "k": float, "R0": float, "epsilon": float, "sigma": float,
+            "delta": 0.0,
+        },
+        precompute=_fenewca_precompute,
+        energy_force=fenewca,
     ),
 }

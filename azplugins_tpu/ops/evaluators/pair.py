@@ -35,6 +35,10 @@ __all__ = [
     "expanded_yukawa",
     "hertz",
     "dpd_general_weight_conservative",
+    "lennard_jones",
+    "morse",
+    "gauss",
+    "yukawa",
 ]
 
 
@@ -254,6 +258,77 @@ def dpd_general_weight_conservative(rsq, rcutsq, p):
     return e, f
 
 
+# ---------------------------------------------------------------------------
+# HOOMD-core substrate potentials (SURVEY §2.13). azplugins scripts mix
+# the plugin potentials with HOOMD's own md.pair classes (e.g. the
+# reference's own examples pair plugin barriers with plain LJ solvent),
+# so migration needs the textbook set too. Formulas are standard
+# literature physics, re-derived: LJ (Jones 1924), Morse (1929),
+# Gaussian core (Stillinger 1976), screened Coulomb (Yukawa 1935).
+# ---------------------------------------------------------------------------
+def _lj_precompute(t: dict) -> dict:
+    sigma_6 = t["sigma"] ** 6
+    eps4 = 4.0 * t["epsilon"]
+    return {"lj1": eps4 * sigma_6 * sigma_6, "lj2": eps4 * sigma_6}
+
+
+def lennard_jones(rsq, rcutsq, p):
+    r2inv = 1.0 / rsq
+    r6inv = r2inv * r2inv * r2inv
+    f = r2inv * r6inv * (12.0 * p["lj1"] * r6inv - 6.0 * p["lj2"])
+    e = r6inv * (p["lj1"] * r6inv - p["lj2"])
+    active = p["lj1"] != 0
+    return jnp.where(active, e, 0.0), jnp.where(active, f, 0.0)
+
+
+def _lj_pallas_force_divr(rsq, p, recip):
+    r2inv = recip(rsq)
+    r6inv = r2inv * r2inv * r2inv
+    f = r2inv * r6inv * (12.0 * p["lj1"] * r6inv - 6.0 * p["lj2"])
+    return jnp.where(p["lj1"] != 0, f, 0.0)
+
+
+lennard_jones.pallas_force_divr = _lj_pallas_force_divr
+
+
+def _morse_precompute(t: dict) -> dict:
+    return {"D0": t["D0"], "alpha": t["alpha"], "r0": t["r0"]}
+
+
+def morse(rsq, rcutsq, p):
+    r = jnp.sqrt(rsq)
+    ea = jnp.exp(-p["alpha"] * (r - p["r0"]))
+    e = p["D0"] * ea * (ea - 2.0)
+    f = 2.0 * p["D0"] * p["alpha"] * ea * (ea - 1.0) / r
+    active = p["D0"] != 0
+    return jnp.where(active, e, 0.0), jnp.where(active, f, 0.0)
+
+
+def _gauss_precompute(t: dict) -> dict:
+    s = t["sigma"]
+    return {"epsilon": t["epsilon"], "sig2inv": 1.0 / (s * s) if s else 0.0}
+
+
+def gauss(rsq, rcutsq, p):
+    e = p["epsilon"] * jnp.exp(-0.5 * rsq * p["sig2inv"])
+    f = e * p["sig2inv"]
+    active = p["epsilon"] != 0
+    return jnp.where(active, e, 0.0), jnp.where(active, f, 0.0)
+
+
+def _plain_yukawa_precompute(t: dict) -> dict:
+    return {"epsilon": t["epsilon"], "kappa": t["kappa"]}
+
+
+def yukawa(rsq, rcutsq, p):
+    r = jnp.sqrt(rsq)
+    rinv = 1.0 / r
+    e = p["epsilon"] * jnp.exp(-p["kappa"] * r) * rinv
+    f = e * (p["kappa"] + rinv) * rinv
+    active = p["epsilon"] != 0
+    return jnp.where(active, e, 0.0), jnp.where(active, f, 0.0)
+
+
 PAIR_POTENTIALS = {
     "PerturbedLennardJones": PairPotentialDef(
         name="PerturbedLennardJones",
@@ -284,5 +359,30 @@ PAIR_POTENTIALS = {
         spec={"A": float, "gamma": float, "s": float},
         precompute=_dpd_precompute,
         energy_force=dpd_general_weight_conservative,
+    ),
+    # HOOMD-core substrate set (SURVEY §2.13)
+    "LJ": PairPotentialDef(
+        name="LJ",
+        spec={"epsilon": float, "sigma": float},
+        precompute=_lj_precompute,
+        energy_force=lennard_jones,
+    ),
+    "Morse": PairPotentialDef(
+        name="Morse",
+        spec={"D0": float, "alpha": float, "r0": float},
+        precompute=_morse_precompute,
+        energy_force=morse,
+    ),
+    "Gaussian": PairPotentialDef(
+        name="Gaussian",
+        spec={"epsilon": float, "sigma": float},
+        precompute=_gauss_precompute,
+        energy_force=gauss,
+    ),
+    "Yukawa": PairPotentialDef(
+        name="Yukawa",
+        spec={"epsilon": float, "kappa": float},
+        precompute=_plain_yukawa_precompute,
+        energy_force=yukawa,
     ),
 }
