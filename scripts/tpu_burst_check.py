@@ -119,6 +119,22 @@ def main():
     got = jax.block_until_ready(run_pair(dense3, spec3, t3, rc3, "shift", "all", 3))
     cmp("pair 3type", ref, got, ("force", "energy", "virial"))
 
+    # substrate LJ (its own pallas_force_divr fast-reciprocal variant)
+    ef_lj = PAIR_POTENTIALS["LJ"].energy_force
+    tlj = {k: jnp.full((1, 1), float(v), jnp.float32)
+           for k, v in PAIR_POTENTIALS["LJ"].precompute(
+               dict(epsilon=1.0, sigma=1.0)).items()}
+    rclj = jnp.full((1, 1), 2.5, jnp.float32)
+
+    def run_lj(flag):
+        os.environ["AZTPU_PALLAS"] = flag
+        jb = D.make_jblocks(dense, spec, half=True, need_typeid=False)
+        return jax.block_until_ready(D.dense_pair_force(
+            ef_lj, dense, jb, spec, tlj, rclj, mode="none", want="force",
+            masked=False))
+
+    cmp("pair lj", run_lj("0"), run_lj("1"), ("force",))
+
     # four types (the 4th one-hot column + the _PALLAS_MAX_T boundary)
     dense4, spec4 = build(types=4, seed=23)
     rng4 = np.random.default_rng(23)
