@@ -138,7 +138,7 @@ def _fenewca_precompute(t: dict) -> dict:
         "lj1": eps4 * sigma_6 * sigma_6,
         "lj2": eps4 * sigma_6,
         "epsilon": t["epsilon"],
-        "rwcasq": np.cbrt(2.0) * t["sigma"] ** 2 if t["sigma"] else 0.0,
+        "rwcasq": np.cbrt(2.0) * np.asarray(t["sigma"]) ** 2,
     }
 
 

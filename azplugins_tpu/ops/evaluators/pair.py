@@ -305,8 +305,10 @@ def morse(rsq, rcutsq, p):
 
 
 def _gauss_precompute(t: dict) -> dict:
-    s = t["sigma"]
-    return {"epsilon": t["epsilon"], "sig2inv": 1.0 / (s * s) if s else 0.0}
+    # vectorized over type-pair tables: no python truthiness on arrays
+    s2 = np.asarray(t["sigma"]) ** 2
+    sig2inv = np.where(s2 != 0, 1.0 / np.where(s2 != 0, s2, 1.0), 0.0)
+    return {"epsilon": t["epsilon"], "sig2inv": sig2inv}
 
 
 def gauss(rsq, rcutsq, p):

@@ -804,10 +804,50 @@ class Simulation:
             self._dense = fn(self._dense, jnp.int32(t))
             self._state_stale = True
 
+    def _ops_fingerprint(self):
+        """Structural identity of the operation set bound into the runner.
+
+        The compiled chunk closes over the integrator, its methods, and
+        the force/updater lists; the tables fingerprint (_run_chunk)
+        catches parameter-VALUE changes but not structural ones. HOOMD
+        scripts reassign these routinely (equilibrate with Langevin,
+        then production NVE), and a stale closure would silently keep
+        integrating with the old scheme. Scalars are compared by value,
+        nested objects (variants, filters, triggers) by identity —
+        replace the object to change it.
+        """
+
+        def obj_fp(o):
+            items = []
+            for k, v in sorted(vars(o).items()):
+                if k.startswith("_") or k == "forces":
+                    continue
+                if isinstance(v, (int, float, bool, str, type(None))):
+                    items.append((k, v))
+                else:
+                    items.append((k, type(v).__name__, id(v)))
+            return (type(o).__name__, id(o), tuple(items))
+
+        integ = self.operations.integrator
+        if integ is None:
+            return ("none",)
+        return (
+            obj_fp(integ),
+            tuple(obj_fp(m) for m in integ.methods),
+            tuple((type(f).__name__, id(f)) for f in integ.forces),
+            tuple((type(u).__name__, id(u)) for u in self.operations.updaters),
+        )
+
     def run(self, n_steps: int):
         from .write import _fire_writers, _writer_next_fire
 
         n_steps = int(n_steps)
+        fp = self._ops_fingerprint()
+        if getattr(self, "_ops_fp", None) != fp:
+            # integrator/methods/forces/updaters changed since the last
+            # bind: rebuild the runner against the new operation set
+            self._ops_fp = fp
+            self._invalidate()
         if not self._attached:
             self._attach()
         if not self._prepared:
