@@ -50,7 +50,7 @@ if (
 ):
     _jax.config.update("jax_default_matmul_precision", "highest")
 
-from . import compute, external, flow, io, logging, md, ops, update, write
+from . import compute, external, flow, io, logging, md, mpcd, ops, update, write
 from .core import Box, Snapshot, State, variant
 from .md import bond, pair
 from .md import filter  # noqa: A004 - mirrors hoomd.filter

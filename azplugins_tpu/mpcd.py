@@ -1,0 +1,250 @@
+"""MPCD-SRD solvent dynamics: ballistic streaming + stochastic rotation.
+
+The reference plugin only READS an MPCD particle stream — HOOMD's mpcd
+package generates it (DEVIATIONS.md §7-MPCD,
+/root/reference/src/VelocityFieldCompute.h:331-352). A user switching
+engines needs the generator too, so this module implements the standard
+multi-particle collision dynamics solvent (Malevanets & Kapral 1999)
+TPU-natively:
+
+* **Streaming** is ballistic between collision events, so the solvent
+  advances in one fused jump per interval (x += v dt; with a body force,
+  the exact piecewise-quadratic update). No per-step loop.
+* **Collisions** (stochastic rotation dynamics) happen at absolute
+  timesteps divisible by ``period`` — a pure function of the timestep,
+  so trajectories are independent of run() chunking and bitwise
+  reproducible across checkpoint restarts (counter-based RNG keyed on
+  the collision timestep).
+* **Cell binning** uses the same fused-key sort + searchsorted-offset
+  pattern as the MD engine's rebin (ops/dense.py): sort (cell, row)
+  keys, per-cell sums from segment boundaries — no atomics, no
+  scatter-add (TPU has neither; SURVEY §2.12 maps the reference's
+  atomic histograms to exactly this formulation).
+* **Galilean invariance** via the standard random grid shift per
+  collision (Ihle & Kroll 2001).
+* Optional cell-level velocity-rescale thermostat to ``kT`` (the
+  sampling-free analog of HOOMD's MBS thermostat; without it SRD
+  conserves energy exactly and heats only through the body force).
+
+The solvent does not couple to MD solutes (the reference's read-only
+boundary); observables (VelocityCompute / VelocityFieldCompute with
+``include_mpcd_particles=True``) read the advanced stream.
+"""
+
+from __future__ import annotations
+
+import math
+
+import jax
+import jax.numpy as jnp
+
+__all__ = ["SRD"]
+
+
+def _rotate(v, axis, cos_a, sin_a):
+    """Rodrigues rotation of rows of v around unit rows of axis."""
+    dot = jnp.sum(v * axis, axis=1, keepdims=True)
+    cross = jnp.cross(axis, v)
+    return v * cos_a + cross * sin_a + axis * dot * (1.0 - cos_a)
+
+
+class SRD:
+    """Stochastic rotation dynamics for the MPCD solvent stream.
+
+    Parameters
+    ----------
+    dt : float
+        MD timestep (streaming time per MD step); collisions occur every
+        ``period`` MD steps, i.e. the MPCD collision time is period*dt.
+    period : int
+        MD steps between collision events (HOOMD mpcd convention).
+    angle : float
+        Rotation angle in degrees (130 is the common choice).
+    cell_size : float
+        Collision cell edge; every box edge must be an (approximate)
+        integer multiple.
+    kT : float or None
+        Cell-level velocity-rescale thermostat target; None = micro-
+        canonical SRD (energy conserved exactly).
+    body_force : 3-sequence or None
+        Constant acceleration (force per unit mass) applied during
+        streaming — e.g. a pressure-gradient driving field.
+    shift : bool
+        Random collision-grid shift (Galilean invariance). On by default.
+    """
+
+    def __init__(self, dt, period=1, angle=130.0, cell_size=1.0, kT=None,
+                 body_force=None, shift=True):
+        self.dt = float(dt)
+        self.period = int(period)
+        self.angle = float(angle)
+        self.cell_size = float(cell_size)
+        self.kT = None if kT is None else float(kT)
+        self.body_force = (
+            None if body_force is None else tuple(float(f) for f in body_force)
+        )
+        self.shift = bool(shift)
+        self._advance_jit = None
+        self._dims = None
+
+    # -- wiring ------------------------------------------------------------
+    def _validate(self, box):
+        tilt = [float(t) for t in box.tilt]
+        if any(abs(t) > 1e-12 for t in tilt):
+            raise ValueError("MPCD-SRD supports orthorhombic boxes only")
+        dims = []
+        for L in (float(box.L[0]), float(box.L[1]), float(box.L[2])):
+            n = L / self.cell_size
+            if abs(n - round(n)) > 1e-4:
+                raise ValueError(
+                    f"box edge {L} is not a multiple of cell_size "
+                    f"{self.cell_size}"
+                )
+            dims.append(max(1, int(round(n))))
+        self._dims = tuple(dims)
+
+    # -- physics -----------------------------------------------------------
+    def _stream(self, pos, vel, n_steps, L):
+        """Ballistic jump over n_steps MD steps (exact under constant f)."""
+        t = n_steps.astype(jnp.float32) * jnp.float32(self.dt)
+        if self.body_force is not None:
+            f = jnp.asarray(self.body_force, jnp.float32)
+            pos = pos + vel * t[..., None] + 0.5 * f * t[..., None] ** 2
+            vel = vel + f * t[..., None]
+        else:
+            pos = pos + vel * t[..., None]
+        pos = pos - jnp.round(pos / L) * L  # wrap (orthorhombic)
+        return pos, vel
+
+    def _collide(self, pos, vel, t_col, L, seed):
+        """One SRD collision at absolute timestep t_col."""
+        N = pos.shape[0]
+        Dx, Dy, Dz = self._dims
+        C = Dx * Dy * Dz
+        a = jnp.float32(self.cell_size)
+        key = jax.random.fold_in(
+            jax.random.fold_in(jax.random.key(seed), jnp.uint32(0x6D70)),
+            t_col.astype(jnp.uint32),
+        )
+        kshift, kaxis = jax.random.split(key)
+
+        shift = (
+            jax.random.uniform(kshift, (3,), jnp.float32) * a
+            if self.shift
+            else jnp.zeros((3,), jnp.float32)
+        )
+        frac = (pos + shift) / L + 0.5
+        frac = frac - jnp.floor(frac)
+        dims = jnp.asarray([Dx, Dy, Dz], jnp.int32)
+        idx = jnp.clip(
+            jnp.floor(frac * dims.astype(jnp.float32)).astype(jnp.int32),
+            0, dims - 1,
+        )
+        cid = (idx[:, 0] * Dy + idx[:, 1]) * Dz + idx[:, 2]
+
+        # fused-key sort + segment offsets (the rebin pattern — no atomics)
+        ibits = max(1, (N - 1).bit_length())
+        fkey = (cid << ibits) | jnp.arange(N, dtype=jnp.int32)
+        fkey_s = jax.lax.sort(fkey)
+        cid_s = fkey_s >> ibits
+        perm = fkey_s & jnp.int32((1 << ibits) - 1)
+        v_s = jnp.take(vel, perm, axis=0)
+        start = jnp.searchsorted(
+            cid_s, jnp.arange(C + 1, dtype=jnp.int32)
+        ).astype(jnp.int32)
+        cnt = (start[1:] - start[:-1]).astype(jnp.float32)  # [C]
+
+        # per-cell momentum via cumsum differences at segment boundaries
+        cum = jnp.concatenate(
+            [jnp.zeros((1, 3), jnp.float32), jnp.cumsum(v_s, axis=0)], axis=0
+        )
+        vsum = jnp.take(cum, start[1:], axis=0) - jnp.take(cum, start[:-1], axis=0)
+        u = vsum / jnp.maximum(cnt, 1.0)[:, None]  # [C, 3] cell COM velocity
+
+        # per-cell random unit axis; same key regardless of occupancy
+        axis = jax.random.normal(kaxis, (C, 3), jnp.float32)
+        axis = axis / jnp.maximum(
+            jnp.linalg.norm(axis, axis=1, keepdims=True), 1e-12
+        )
+
+        u_i = jnp.take(u, cid, axis=0)
+        ax_i = jnp.take(axis, cid, axis=0)
+        vrel = vel - u_i
+        cos_a = jnp.float32(math.cos(math.radians(self.angle)))
+        sin_a = jnp.float32(math.sin(math.radians(self.angle)))
+        vrel = _rotate(vrel, ax_i, cos_a, sin_a)
+
+        if self.kT is not None:
+            # cell-level rescale to the relative-DOF equipartition value:
+            # <K_rel> = 3/2 (n_c - 1) kT (COM motion carries no thermal DOF)
+            ksum = jnp.concatenate(
+                [jnp.zeros((1,), jnp.float32),
+                 jnp.cumsum(jnp.sum(v_s * v_s, axis=1))]
+            )
+            # relative KE per cell: sum v^2 - n_c u^2 (mass folded out)
+            sum_v2 = jnp.take(ksum, start[1:]) - jnp.take(ksum, start[:-1])
+            k_rel = 0.5 * (sum_v2 - cnt * jnp.sum(u * u, axis=1))
+            target = 1.5 * jnp.maximum(cnt - 1.0, 0.0) * jnp.float32(self.kT)
+            scale = jnp.sqrt(
+                jnp.where(k_rel > 1e-12, target / jnp.maximum(k_rel, 1e-12), 1.0)
+            )
+            scale = jnp.where(cnt[:, None] > 1.5, scale[:, None], 1.0)
+            vrel = vrel * jnp.take(scale, cid, axis=0)
+
+        return u_i + vrel
+
+    def _build(self, box, seed):
+        self._validate(box)
+        L = jnp.asarray(
+            [float(box.L[0]), float(box.L[1]), float(box.L[2])], jnp.float32
+        )
+        period = self.period
+
+        def advance(pos_a, vel_a, t_a, t1):
+            """Advance the anchored stream to absolute MD timestep t1.
+
+            The state is ANCHORED at the last collision (or the stream
+            start): positions between collisions are always evaluated in
+            ONE jump from the anchor, never in chunk-sized pieces — f32
+            addition is not associative, and per-chunk partial streaming
+            would make trajectories depend on how run() was chunked.
+            """
+            # collision events at t % period == 0 within (t_a, t1]
+            first = (t_a // period + 1) * period
+            n_events = jnp.maximum((t1 - first) // period + 1, 0)
+
+            def body(_, carry):
+                pos_a, vel_a, t_a = carry
+                t_next = (t_a // period + 1) * period
+                pos, vel = self._stream(pos_a, vel_a, t_next - t_a, L)
+                vel = self._collide(pos, vel, t_next, L, seed)
+                return pos, vel, t_next
+
+            pos_a, vel_a, t_a = jax.lax.fori_loop(
+                0, n_events, body, (pos_a, vel_a, t_a)
+            )
+            # evaluate the observable state at t1 WITHOUT moving the anchor
+            pos, vel = self._stream(pos_a, vel_a, t1 - t_a, L)
+            return pos, vel, pos_a, vel_a, t_a
+
+        self._advance_jit = jax.jit(advance)
+
+    def _advance(self, mpcd: dict, box, t0: int, t1: int, seed: int) -> dict:
+        if t1 <= t0 or mpcd is None:
+            return mpcd
+        if self._advance_jit is None:
+            self._build(box, seed)
+        anchor = mpcd.get("_srd_anchor")
+        if anchor is None:
+            # fresh stream (or checkpoint restart): anchor here. A restart
+            # at a non-collision-aligned timestep re-anchors and differs
+            # from the continuous run only by f32 addition order.
+            anchor = (mpcd["position"], mpcd["velocity"], jnp.int32(t0))
+        pos, vel, pos_a, vel_a, t_a = self._advance_jit(
+            anchor[0], anchor[1], anchor[2], jnp.int32(t1)
+        )
+        out = dict(mpcd)
+        out["position"] = pos
+        out["velocity"] = vel
+        out["_srd_anchor"] = (pos_a, vel_a, t_a)
+        return out

@@ -178,6 +178,9 @@ class Simulation:
         self.auto_tune_after: int | None = 200
         self._auto_tuned = False
         self._updater_jit: dict = {}
+        # optional MPCD solvent dynamics (az.mpcd.SRD); advances the
+        # snapshot's mpcd stream alongside the MD trajectory
+        self.mpcd_dynamics = None
 
     # -- state management ------------------------------------------------
     def create_state_from_snapshot(self, snapshot: Snapshot):
@@ -832,6 +835,7 @@ class Simulation:
         if integ is None:
             return ("none",)
         return (
+            self.seed,  # baked into the step closure's RNG streams
             obj_fp(integ),
             tuple(obj_fp(m) for m in integ.methods),
             tuple((type(f).__name__, id(f)) for f in integ.forces),
@@ -949,6 +953,14 @@ class Simulation:
             self._state_stale = True
             self._timestep += chunk
             remaining -= chunk
+            if self._mpcd is not None and self.mpcd_dynamics is not None:
+                # advance the solvent stream over the ACCEPTED chunk only
+                # (replays must not double-advance; collisions key on the
+                # absolute timestep, so this is chunking-invariant)
+                self._mpcd = self.mpcd_dynamics._advance(
+                    self._mpcd, self._state.box,
+                    self._timestep - chunk, self._timestep, self.seed,
+                )
             # adaptive regrowth at absolute quantum boundaries (so the
             # schedule is a pure function of timestep, not chunking): each
             # clean quantum earns +1 on the rebuild interval (seg_len is a

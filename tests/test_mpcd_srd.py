@@ -1,0 +1,137 @@
+"""MPCD-SRD solvent dynamics (az.mpcd.SRD).
+
+Physics invariants of stochastic rotation dynamics: collisions conserve
+per-cell (hence total) momentum exactly and, without a thermostat,
+kinetic energy exactly (rotations are isometries); the cell-level
+rescale thermostat drives the solvent temperature to kT; collisions key
+on the absolute timestep, so trajectories are bitwise chunking-invariant
+and checkpoint-reproducible.
+"""
+
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+import azplugins_tpu as az
+
+
+def _solvent_sim(N=4000, L=8.0, kT_init=1.0, seed=3, mpcd_kwargs=None):
+    rng = np.random.default_rng(seed)
+    snap = az.Snapshot(N=8, mpcd_N=N)
+    snap.configuration.box = [L, L, L, 0, 0, 0]
+    snap.particles.types = ["A"]
+    snap.particles.position[:] = (rng.random((8, 3)) - 0.5) * L * 0.9
+    snap.mpcd.position[:] = (rng.random((N, 3)) - 0.5) * L
+    snap.mpcd.velocity[:] = rng.normal(0, np.sqrt(kT_init), (N, 3))
+    snap.mpcd.velocity[:] -= snap.mpcd.velocity.mean(axis=0)
+    sim = az.Simulation(seed=7)
+    sim.create_state_from_snapshot(snap)
+    pot = az.pair.Hertz(nlist=az.md.nlist.Cell(buffer=0.4), default_r_cut=1.5)
+    pot.params[("A", "A")] = dict(epsilon=1.0)
+    sim.operations.integrator = az.md.Integrator(
+        dt=0.02, methods=[az.md.methods.ConstantVolume()], forces=[pot]
+    )
+    sim.mpcd_dynamics = az.mpcd.SRD(
+        dt=0.02, **(dict(period=5, angle=130.0, cell_size=1.0)
+                    | (mpcd_kwargs or {}))
+    )
+    return sim
+
+
+def _kT(vel):
+    return float(np.mean(np.sum(np.asarray(vel) ** 2, axis=1)) / 3.0)
+
+
+def test_srd_conserves_momentum_and_energy():
+    sim = _solvent_sim()
+    v0 = np.asarray(sim._mpcd["velocity"])
+    p0 = v0.sum(axis=0)
+    e0 = np.sum(v0 * v0)
+    sim.run(60)  # 12 collision events
+    v1 = np.asarray(sim._mpcd["velocity"])
+    assert not np.allclose(v0, v1)  # collisions happened
+    np.testing.assert_allclose(v1.sum(axis=0), p0, atol=2e-2)
+    np.testing.assert_allclose(np.sum(v1 * v1), e0, rtol=1e-4)
+    # positions moved and stayed in the box
+    p = np.asarray(sim._mpcd["position"])
+    assert np.all(np.abs(p) <= 4.0 + 1e-5)
+
+
+def test_srd_thermostat_drives_kT():
+    sim = _solvent_sim(kT_init=4.0, mpcd_kwargs=dict(kT=1.0))
+    assert _kT(sim._mpcd["velocity"]) > 3.0
+    sim.run(100)
+    assert abs(_kT(sim._mpcd["velocity"]) - 1.0) < 0.15
+
+
+def test_srd_chunking_invariant():
+    a = _solvent_sim(seed=11)
+    a.run(40)
+    b = _solvent_sim(seed=11)
+    for n in (7, 13, 20):
+        b.run(n)
+    np.testing.assert_array_equal(
+        np.asarray(a._mpcd["position"]), np.asarray(b._mpcd["position"])
+    )
+    np.testing.assert_array_equal(
+        np.asarray(a._mpcd["velocity"]), np.asarray(b._mpcd["velocity"])
+    )
+
+
+def test_srd_resume_reproduces():
+    """Restarting from the mid-run stream state reproduces the continuous
+    solvent trajectory bitwise (collisions key on absolute timestep)."""
+    a = _solvent_sim(seed=21)
+    a.run(50)
+    ref_p = np.asarray(a._mpcd["position"])
+
+    b = _solvent_sim(seed=21)
+    b.run(30)
+    # simulate a restart: rebuild an identical sim, inject the stream
+    c = _solvent_sim(seed=21)
+    c._mpcd = {**c._mpcd,
+               "position": jnp.asarray(np.asarray(b._mpcd["position"])),
+               "velocity": jnp.asarray(np.asarray(b._mpcd["velocity"]))}
+    c.timestep = 30
+    c.run(20)
+    np.testing.assert_array_equal(np.asarray(c._mpcd["position"]), ref_p)
+
+
+def test_srd_body_force_accelerates():
+    sim = _solvent_sim(mpcd_kwargs=dict(body_force=(0.05, 0.0, 0.0), kT=1.0))
+    v0x = float(np.asarray(sim._mpcd["velocity"])[:, 0].mean())
+    sim.run(50)
+    v1x = float(np.asarray(sim._mpcd["velocity"])[:, 0].mean())
+    # COM momentum is immune to collisions and the thermostat acts only
+    # on relative velocities, so the drift integrates the body force
+    np.testing.assert_allclose(v1x - v0x, 0.05 * 50 * 0.02, rtol=0.05)
+
+
+def test_srd_feeds_velocity_compute():
+    sim = _solvent_sim(mpcd_kwargs=dict(body_force=(0.1, 0.0, 0.0)))
+    vc = az.compute.VelocityCompute(
+        filter=az.filter.All(), include_mpcd_particles=True
+    )
+    sim.operations.computes.append(vc)
+    sim.run(40)
+    vc._attach(sim)
+    # solvent dominates the count; its x-drift shows in the mean velocity
+    assert abs(vc.velocity[0]) > 0.05
+
+
+def test_srd_rejects_bad_geometry():
+    sim = _solvent_sim(mpcd_kwargs=dict(cell_size=0.9))
+    with pytest.raises(ValueError, match="multiple"):
+        sim.run(5)
+    snap = az.Snapshot(N=2, mpcd_N=10)
+    snap.configuration.box = [8, 8, 8, 0.2, 0, 0]
+    snap.particles.types = ["A"]
+    snap.particles.position[:] = [[-1, 0, 0], [1, 0, 0]]
+    sim2 = az.Simulation(seed=1)
+    sim2.create_state_from_snapshot(snap)
+    sim2.operations.integrator = az.md.Integrator(
+        dt=0.01, methods=[az.md.methods.ConstantVolume()], forces=[]
+    )
+    sim2.mpcd_dynamics = az.mpcd.SRD(dt=0.01)
+    with pytest.raises(ValueError, match="orthorhombic"):
+        sim2.run(5)
