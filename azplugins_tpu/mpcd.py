@@ -74,7 +74,7 @@ class SRD:
     """
 
     def __init__(self, dt, period=1, angle=130.0, cell_size=1.0, kT=None,
-                 body_force=None, shift=True):
+                 body_force=None, shift=True, plates=None):
         self.dt = float(dt)
         self.period = int(period)
         self.angle = float(angle)
@@ -84,6 +84,20 @@ class SRD:
             None if body_force is None else tuple(float(f) for f in body_force)
         )
         self.shift = bool(shift)
+        # plates=(axis, H): no-slip bounce-back walls at +-H/2 along the
+        # axis ('x'|'y'|'z') — the parallel-plate (slit) geometry of
+        # HOOMD's mpcd streaming. Streaming then substeps at dt with one
+        # bounce per substep (thermal |v|*dt << H).
+        if plates is not None:
+            axis, H = plates
+            axis = {"x": 0, "y": 1, "z": 2}.get(axis, axis)
+            self.plates = (int(axis), float(H))
+            if self.body_force is not None and self.body_force[int(axis)]:
+                raise ValueError(
+                    "body force must be tangential to the plates"
+                )
+        else:
+            self.plates = None
         self._advance_jit = None
         self._dims = None
 
@@ -105,16 +119,61 @@ class SRD:
 
     # -- physics -----------------------------------------------------------
     def _stream(self, pos, vel, n_steps, L):
-        """Ballistic jump over n_steps MD steps (exact under constant f)."""
-        t = n_steps.astype(jnp.float32) * jnp.float32(self.dt)
-        if self.body_force is not None:
-            f = jnp.asarray(self.body_force, jnp.float32)
-            pos = pos + vel * t[..., None] + 0.5 * f * t[..., None] ** 2
-            vel = vel + f * t[..., None]
-        else:
-            pos = pos + vel * t[..., None]
-        pos = pos - jnp.round(pos / L) * L  # wrap (orthorhombic)
-        return pos, vel
+        """Ballistic jump over n_steps MD steps (exact under constant f).
+
+        With plates, substeps at dt with single-bounce no-slip
+        reflection per substep (full velocity reversal at the wall).
+        """
+        if self.plates is None:
+            t = n_steps.astype(jnp.float32) * jnp.float32(self.dt)
+            if self.body_force is not None:
+                f = jnp.asarray(self.body_force, jnp.float32)
+                pos = pos + vel * t[..., None] + 0.5 * f * t[..., None] ** 2
+                vel = vel + f * t[..., None]
+            else:
+                pos = pos + vel * t[..., None]
+            pos = pos - jnp.round(pos / L) * L  # wrap (orthorhombic)
+            return pos, vel
+
+        ax, H = self.plates
+        dt = jnp.float32(self.dt)
+        half = jnp.float32(H / 2.0)
+        f = jnp.asarray(
+            self.body_force or (0.0, 0.0, 0.0), jnp.float32
+        )  # f[ax] == 0 (validated)
+        wrap_mask = jnp.asarray(
+            [1.0 if k != ax else 0.0 for k in range(3)], jnp.float32
+        )
+
+        def substep(_, carry):
+            pos, vel = carry
+            new = pos + vel * dt + 0.5 * f * dt * dt
+            w = new[:, ax]
+            crossed = jnp.abs(w) > half
+            zw = jnp.sign(w) * half
+            vz = vel[:, ax]
+            # wall-normal motion is force-free: exact hit time
+            t_hit = jnp.where(
+                jnp.abs(vz) > 1e-12, (zw - pos[:, ax]) / jnp.where(
+                    jnp.abs(vz) > 1e-12, vz, 1.0
+                ), 0.0,
+            )
+            t_hit = jnp.clip(t_hit, 0.0, dt)
+            tau = dt - t_hit
+            v_hit = vel + f * t_hit[:, None]  # velocity at the wall
+            x_hit = pos + vel * t_hit[:, None] + 0.5 * f * t_hit[:, None] ** 2
+            # no-slip bounce-back: full reversal, then stream the rest
+            v_b = -v_hit
+            x_b = x_hit + v_b * tau[:, None] + 0.5 * f * tau[:, None] ** 2
+            v_b = v_b + f * tau[:, None]
+            v_free = vel + f * dt
+            pos = jnp.where(crossed[:, None], x_b, new)
+            vel = jnp.where(crossed[:, None], v_b, v_free)
+            # wrap the periodic (in-plane) axes only
+            pos = pos - jnp.round(pos / L) * L * wrap_mask
+            return pos, vel
+
+        return jax.lax.fori_loop(0, n_steps, substep, (pos, vel))
 
     def _collide(self, pos, vel, t_col, L, seed):
         """One SRD collision at absolute timestep t_col."""
@@ -126,7 +185,7 @@ class SRD:
             jax.random.fold_in(jax.random.key(seed), jnp.uint32(0x6D70)),
             t_col.astype(jnp.uint32),
         )
-        kshift, kaxis = jax.random.split(key)
+        kshift, kaxis, kvirt = jax.random.split(key, 3)
 
         shift = (
             jax.random.uniform(kshift, (3,), jnp.float32) * a
@@ -159,7 +218,48 @@ class SRD:
             [jnp.zeros((1, 3), jnp.float32), jnp.cumsum(v_s, axis=0)], axis=0
         )
         vsum = jnp.take(cum, start[1:], axis=0) - jnp.take(cum, start[:-1], axis=0)
-        u = vsum / jnp.maximum(cnt, 1.0)[:, None]  # [C, 3] cell COM velocity
+        vsum_real = vsum
+
+        # virtual-particle fill of wall-clipped cells (no-slip): the part
+        # of a collision cell beyond the plates is filled with phantom
+        # solvent at rest (Lamura et al. 2001) — its sampled momentum
+        # ~ Normal(0, Nv kT) joins the cell average, dragging u toward
+        # zero at the wall. Bulk cells get Nv = 0 exactly.
+        n_virt = jnp.zeros((C,), jnp.float32)
+        if self.plates is not None:
+            pax, H = self.plates
+            a_f = jnp.float32(self.cell_size)
+            D_ax = self._dims[pax]
+            Lax = L[pax]
+            iax = jnp.arange(D_ax, dtype=jnp.float32)
+            lo = iax * a_f - Lax / 2.0 - shift[pax]
+            hi = lo + a_f
+            inside = jnp.clip(
+                jnp.minimum(hi, jnp.float32(H / 2.0))
+                - jnp.maximum(lo, jnp.float32(-H / 2.0)),
+                0.0, a_f,
+            )
+            # mean fill of a FULL cell at the confined density
+            rho_cell = jnp.float32(N) * a_f**3 / (
+                jnp.prod(L) * jnp.float32(H) / Lax
+            )
+            nv_ax = rho_cell * (1.0 - inside / a_f)  # [D_ax]
+            Dx_, Dy_, Dz_ = self._dims
+            allc = jnp.arange(C, dtype=jnp.int32)
+            if pax == 2:
+                idx_ax = allc % Dz_
+            elif pax == 1:
+                idx_ax = (allc // Dz_) % Dy_
+            else:
+                idx_ax = allc // (Dy_ * Dz_)
+            n_virt = jnp.take(nv_ax, idx_ax)
+            kT_v = jnp.float32(self.kT if self.kT is not None else 1.0)
+            pv = jax.random.normal(kvirt, (C, 3), jnp.float32) * jnp.sqrt(
+                jnp.maximum(n_virt, 0.0) * kT_v
+            )[:, None]
+            vsum = vsum + pv
+
+        u = vsum / jnp.maximum(cnt + n_virt, 1.0)[:, None]  # [C, 3] COM vel
 
         # per-cell random unit axis; same key regardless of occupancy
         axis = jax.random.normal(kaxis, (C, 3), jnp.float32)
@@ -181,9 +281,15 @@ class SRD:
                 [jnp.zeros((1,), jnp.float32),
                  jnp.cumsum(jnp.sum(v_s * v_s, axis=1))]
             )
-            # relative KE per cell: sum v^2 - n_c u^2 (mass folded out)
+            # relative KE of the REAL particles about u (mass folded out);
+            # the general form — with virtual fill u is not their mean:
+            # sum |v - u|^2 = sum v^2 - 2 vsum.u + n |u|^2
             sum_v2 = jnp.take(ksum, start[1:]) - jnp.take(ksum, start[:-1])
-            k_rel = 0.5 * (sum_v2 - cnt * jnp.sum(u * u, axis=1))
+            k_rel = 0.5 * (
+                sum_v2
+                - 2.0 * jnp.sum(vsum_real * u, axis=1)
+                + cnt * jnp.sum(u * u, axis=1)
+            )
             target = 1.5 * jnp.maximum(cnt - 1.0, 0.0) * jnp.float32(self.kT)
             scale = jnp.sqrt(
                 jnp.where(k_rel > 1e-12, target / jnp.maximum(k_rel, 1e-12), 1.0)

@@ -119,6 +119,55 @@ def test_srd_feeds_velocity_compute():
     assert abs(vc.velocity[0]) > 0.05
 
 
+def test_srd_plates_confine_and_poiseuille():
+    """Slit geometry: bounce-back plates confine the solvent, and a
+    tangential body force develops the parabolic Poiseuille profile
+    (the classic MPCD validation; measured with the same binning the
+    reference's VelocityFieldCompute does)."""
+    rng = np.random.default_rng(5)
+    N, L = 10000, 10.0
+    snap = az.Snapshot(N=2, mpcd_N=N)
+    snap.configuration.box = [L, L, L, 0, 0, 0]
+    snap.particles.types = ["A"]
+    snap.particles.position[:] = [[-1, 0, 0], [1, 0, 0]]
+    snap.mpcd.position[:] = (rng.random((N, 3)) - 0.5) * np.asarray(
+        [L, L, 0.98 * L]
+    )
+    snap.mpcd.velocity[:] = rng.normal(0, 1.0, (N, 3))
+    sim = az.Simulation(seed=9)
+    sim.create_state_from_snapshot(snap)
+    sim.operations.integrator = az.md.Integrator(
+        dt=0.02, methods=[az.md.methods.ConstantVolume()], forces=[]
+    )
+    sim.mpcd_dynamics = az.mpcd.SRD(
+        dt=0.02, period=5, angle=130.0, cell_size=1.0, kT=1.0,
+        body_force=(0.04, 0.0, 0.0), plates=("z", L),
+    )
+    sim.run(1200)  # develop the flow
+    # accumulate the vx(z) profile over several decorrelated snapshots
+    nbins = 10
+    prof = np.zeros(nbins)
+    cntb = np.zeros(nbins)
+    for _ in range(8):
+        sim.run(50)
+        p = np.asarray(sim._mpcd["position"])
+        v = np.asarray(sim._mpcd["velocity"])
+        assert np.all(np.abs(p[:, 2]) <= L / 2 + 1e-4)  # confined
+        b = np.clip(((p[:, 2] / L + 0.5) * nbins).astype(int), 0, nbins - 1)
+        np.add.at(prof, b, v[:, 0])
+        np.add.at(cntb, b, 1.0)
+    prof /= np.maximum(cntb, 1.0)
+    center = prof[nbins // 2 - 1 : nbins // 2 + 1].mean()
+    walls = (prof[0] + prof[-1]) / 2
+    assert center > 0.05, prof  # flow developed
+    # near-parabolic with near-no-slip walls (virtual-particle fill; the
+    # residual is the half-bin offset from the wall)
+    assert center > 3.0 * max(walls, 1e-6), prof
+    # symmetry about the mid-plane within statistical noise
+    asym = np.abs(prof - prof[::-1]).max()
+    assert asym < 0.5 * center + 0.05, prof
+
+
 def test_srd_rejects_bad_geometry():
     sim = _solvent_sim(mpcd_kwargs=dict(cell_size=0.9))
     with pytest.raises(ValueError, match="multiple"):
