@@ -168,6 +168,31 @@ def test_srd_plates_confine_and_poiseuille():
     assert asym < 0.5 * center + 0.05, prof
 
 
+def test_srd_checkpoint_roundtrip(tmp_path):
+    """A checkpoint carries the advanced solvent stream; restarting at a
+    collision-aligned timestep reproduces the continuous solvent
+    trajectory bitwise (collisions key on the absolute timestep and the
+    stream re-anchors at the restart point, which IS a collision)."""
+    from azplugins_tpu.io import load_checkpoint, save_checkpoint
+
+    a = _solvent_sim(seed=31)
+    a.run(60)
+    ref = np.asarray(a._mpcd["position"])
+
+    b = _solvent_sim(seed=31)
+    b.run(30)  # 30 % period(5) == 0: collision-aligned
+    path = str(tmp_path / "srd.azt")
+    save_checkpoint(b, path)
+
+    snap, ts = load_checkpoint(path)
+    assert snap.mpcd.N == 4000
+    c = _solvent_sim(seed=31)
+    c._set_snapshot(snap)
+    c.timestep = ts
+    c.run(30)
+    np.testing.assert_array_equal(np.asarray(c._mpcd["position"]), ref)
+
+
 def test_srd_rejects_bad_geometry():
     sim = _solvent_sim(mpcd_kwargs=dict(cell_size=0.9))
     with pytest.raises(ValueError, match="multiple"):
