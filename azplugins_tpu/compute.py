@@ -105,6 +105,12 @@ class VelocityFieldCompute(Compute):
     def __init__(self, num_bins, lower_bounds, upper_bounds, filter=None,
                  include_mpcd_particles=False):
         super().__init__()
+        if type(self)._coord_fn is None:
+            raise TypeError(
+                "VelocityFieldCompute is abstract; use "
+                "CartesianVelocityFieldCompute or "
+                "CylindricalVelocityFieldCompute"
+            )
         self.include_mpcd_particles = bool(include_mpcd_particles)
         self.num_bins = tuple(int(b) for b in num_bins)
         self.lower_bounds = tuple(float(b) for b in lower_bounds)
