@@ -421,6 +421,46 @@ def bench_extras():
         print(json.dumps(line), flush=True)
 
 
+def bench_mpcd():
+    """BENCH_MPCD=1: SRD solvent throughput (opt-in; not a BASELINE
+    config — the reference delegates MPCD dynamics to HOOMD)."""
+    import azplugins_tpu as az
+
+    rng = np.random.default_rng(3)
+    Ls = int(os.environ.get("BENCH_MPCD_L", "64"))
+    N, L = Ls**3, float(Ls)  # rho a^-3 = 1 at cell_size 1
+    snap = az.Snapshot(N=2, mpcd_N=N)
+    snap.configuration.box = [L, L, L, 0, 0, 0]
+    snap.particles.types = ["A"]
+    snap.particles.position[:] = [[-1, 0, 0], [1, 0, 0]]
+    snap.mpcd.position[:] = (rng.random((N, 3)) - 0.5) * L
+    snap.mpcd.velocity[:] = rng.normal(0, 1.0, (N, 3))
+    sim = az.Simulation(seed=5)
+    sim.create_state_from_snapshot(snap)
+    sim.operations.integrator = az.md.Integrator(
+        dt=0.02, methods=[az.md.methods.ConstantVolume()], forces=[]
+    )
+    sim.mpcd_dynamics = az.mpcd.SRD(dt=0.02, period=1, cell_size=1.0, kT=1.0)
+    sim.run(50)  # compile + settle
+    sync_scalar(sim._mpcd["position"])
+    t0 = time.perf_counter()
+    sim.run(50)
+    sync_scalar(sim._mpcd["position"])
+    t_lo = time.perf_counter() - t0
+    t0 = time.perf_counter()
+    sim.run(450)
+    sync_scalar(sim._mpcd["position"])
+    t_hi = time.perf_counter() - t0
+    ms = (t_hi - t_lo) / 400 * 1e3
+    print(json.dumps({
+        "metric": f"mpcd_srd_collisions_per_second_{N // 1000}k",
+        "value": round(1e3 / ms, 1),
+        "unit": "collisions/s",
+        "vs_baseline": None,
+        "extra": {"N_solvent": N, "ms_per_collision": round(ms, 3)},
+    }), flush=True)
+
+
 def main():
     warm_steps = int(os.environ.get("BENCH_WARM", "200"))
     steps = int(os.environ.get("BENCH_STEPS", "1000"))
@@ -440,6 +480,8 @@ def main():
         }), flush=True)
         sys.exit(1)
 
+    if os.environ.get("BENCH_MPCD") == "1":
+        bench_mpcd()
     bench_extras()  # configs 2-5 first; the headline line prints LAST
 
     t0 = time.perf_counter()
