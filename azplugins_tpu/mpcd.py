@@ -38,7 +38,7 @@ import math
 import jax
 import jax.numpy as jnp
 
-__all__ = ["SRD"]
+__all__ = ["SRD", "CollisionCoupling"]
 
 
 def _rotate(v, axis, cos_a, sin_a):
@@ -84,6 +84,7 @@ class SRD:
             None if body_force is None else tuple(float(f) for f in body_force)
         )
         self.shift = bool(shift)
+        self._coupled = False  # set by CollisionCoupling
         # plates=(axis, H): no-slip bounce-back walls at +-H/2 along the
         # axis ('x'|'y'|'z') — the parallel-plate (slit) geometry of
         # HOOMD's mpcd streaming. Streaming then substeps at dt with one
@@ -175,8 +176,17 @@ class SRD:
 
         return jax.lax.fori_loop(0, n_steps, substep, (pos, vel))
 
-    def _collide(self, pos, vel, t_col, L, seed):
-        """One SRD collision at absolute timestep t_col."""
+    def _collide(self, pos, vel, t_col, L, seed, mass=None, invalid=None,
+                 n_fill=None, mass_fill=1.0):
+        """One SRD collision at absolute timestep t_col.
+
+        ``mass``/``invalid`` generalize to mixed streams (collisional
+        coupling of MD solutes, Malevanets & Kapral 1999): cell averages
+        are mass-weighted and ``invalid`` rows (empty MD slots) are
+        binned to a trash cell and returned unchanged. ``n_fill`` /
+        ``mass_fill`` set the virtual-fill density from the SOLVENT
+        count when the arrays also carry solutes.
+        """
         N = pos.shape[0]
         Dx, Dy, Dz = self._dims
         C = Dx * Dy * Dz
@@ -200,25 +210,42 @@ class SRD:
             0, dims - 1,
         )
         cid = (idx[:, 0] * Dy + idx[:, 1]) * Dz + idx[:, 2]
+        if invalid is not None:
+            cid = jnp.where(invalid, C, cid)  # trash cell, excluded below
+        m = (
+            jnp.ones((N,), jnp.float32)
+            if mass is None
+            else mass.astype(jnp.float32)
+        )
 
-        # fused-key sort + segment offsets (the rebin pattern — no atomics)
+        # fused-key sort + segment offsets (the rebin pattern — no atomics);
+        # falls back to a two-operand sort when (cid, row) cannot bit-pack
         ibits = max(1, (N - 1).bit_length())
-        fkey = (cid << ibits) | jnp.arange(N, dtype=jnp.int32)
-        fkey_s = jax.lax.sort(fkey)
-        cid_s = fkey_s >> ibits
-        perm = fkey_s & jnp.int32((1 << ibits) - 1)
-        v_s = jnp.take(vel, perm, axis=0)
+        rows = jnp.arange(N, dtype=jnp.int32)
+        if (C + 1) << ibits < 2**31:
+            fkey = (cid << ibits) | rows
+            fkey_s = jax.lax.sort(fkey)
+            cid_s = fkey_s >> ibits
+            perm = fkey_s & jnp.int32((1 << ibits) - 1)
+        else:
+            cid_s, perm = jax.lax.sort([cid, rows], num_keys=1, is_stable=True)
+        m_srt = jnp.take(m, perm)
+        v_s = jnp.take(vel, perm, axis=0) * m_srt[:, None]  # momentum rows
         start = jnp.searchsorted(
             cid_s, jnp.arange(C + 1, dtype=jnp.int32)
         ).astype(jnp.int32)
-        cnt = (start[1:] - start[:-1]).astype(jnp.float32)  # [C]
+        cnt = (start[1:] - start[:-1]).astype(jnp.float32)  # [C] real count
 
-        # per-cell momentum via cumsum differences at segment boundaries
+        # per-cell momentum/mass via cumsum differences at segment bounds
         cum = jnp.concatenate(
             [jnp.zeros((1, 3), jnp.float32), jnp.cumsum(v_s, axis=0)], axis=0
         )
         vsum = jnp.take(cum, start[1:], axis=0) - jnp.take(cum, start[:-1], axis=0)
         vsum_real = vsum
+        mcum = jnp.concatenate(
+            [jnp.zeros((1,), jnp.float32), jnp.cumsum(m_srt)]
+        )
+        msum = jnp.take(mcum, start[1:]) - jnp.take(mcum, start[:-1])
 
         # virtual-particle fill of wall-clipped cells (no-slip): the part
         # of a collision cell beyond the plates is filled with phantom
@@ -239,10 +266,10 @@ class SRD:
                 - jnp.maximum(lo, jnp.float32(-H / 2.0)),
                 0.0, a_f,
             )
-            # mean fill of a FULL cell at the confined density
-            rho_cell = jnp.float32(N) * a_f**3 / (
-                jnp.prod(L) * jnp.float32(H) / Lax
-            )
+            # mean fill of a FULL cell at the confined SOLVENT density
+            rho_cell = jnp.float32(n_fill if n_fill is not None else N) * (
+                a_f**3
+            ) / (jnp.prod(L) * jnp.float32(H) / Lax)
             nv_ax = rho_cell * (1.0 - inside / a_f)  # [D_ax]
             Dx_, Dy_, Dz_ = self._dims
             allc = jnp.arange(C, dtype=jnp.int32)
@@ -254,12 +281,14 @@ class SRD:
                 idx_ax = allc // (Dy_ * Dz_)
             n_virt = jnp.take(nv_ax, idx_ax)
             kT_v = jnp.float32(self.kT if self.kT is not None else 1.0)
+            mf = jnp.float32(mass_fill)
             pv = jax.random.normal(kvirt, (C, 3), jnp.float32) * jnp.sqrt(
-                jnp.maximum(n_virt, 0.0) * kT_v
+                jnp.maximum(n_virt, 0.0) * kT_v * mf
             )[:, None]
             vsum = vsum + pv
+            n_virt = n_virt * mf  # below, n_virt joins the MASS sum
 
-        u = vsum / jnp.maximum(cnt + n_virt, 1.0)[:, None]  # [C, 3] COM vel
+        u = vsum / jnp.maximum(msum + n_virt, 1e-12)[:, None]  # [C, 3] COM
 
         # per-cell random unit axis; same key regardless of occupancy
         axis = jax.random.normal(kaxis, (C, 3), jnp.float32)
@@ -277,18 +306,20 @@ class SRD:
         if self.kT is not None:
             # cell-level rescale to the relative-DOF equipartition value:
             # <K_rel> = 3/2 (n_c - 1) kT (COM motion carries no thermal DOF)
+            m_safe = jnp.where(m_srt > 0, m_srt, 1.0)
             ksum = jnp.concatenate(
                 [jnp.zeros((1,), jnp.float32),
-                 jnp.cumsum(jnp.sum(v_s * v_s, axis=1))]
+                 jnp.cumsum(jnp.sum(v_s * v_s, axis=1) / m_safe)]  # m v^2
             )
-            # relative KE of the REAL particles about u (mass folded out);
-            # the general form — with virtual fill u is not their mean:
-            # sum |v - u|^2 = sum v^2 - 2 vsum.u + n |u|^2
-            sum_v2 = jnp.take(ksum, start[1:]) - jnp.take(ksum, start[:-1])
+            # relative KE of the REAL particles about u — the general
+            # form (with virtual fill or mixed masses, u is not their
+            # momentum mean): sum m|v-u|^2 = sum m v^2 - 2 (sum m v).u
+            # + (sum m) |u|^2
+            sum_mv2 = jnp.take(ksum, start[1:]) - jnp.take(ksum, start[:-1])
             k_rel = 0.5 * (
-                sum_v2
+                sum_mv2
                 - 2.0 * jnp.sum(vsum_real * u, axis=1)
-                + cnt * jnp.sum(u * u, axis=1)
+                + msum * jnp.sum(u * u, axis=1)
             )
             target = 1.5 * jnp.maximum(cnt - 1.0, 0.0) * jnp.float32(self.kT)
             scale = jnp.sqrt(
@@ -297,7 +328,11 @@ class SRD:
             scale = jnp.where(cnt[:, None] > 1.5, scale[:, None], 1.0)
             vrel = vrel * jnp.take(scale, cid, axis=0)
 
-        return u_i + vrel
+        vnew = u_i + vrel
+        if invalid is not None:
+            # trash-binned rows (empty MD slots) come back untouched
+            vnew = jnp.where(invalid[:, None], vel, vnew)
+        return vnew
 
     def _build(self, box, seed):
         self._validate(box)
@@ -305,6 +340,8 @@ class SRD:
             [float(box.L[0]), float(box.L[1]), float(box.L[2])], jnp.float32
         )
         period = self.period
+
+        coupled = self._coupled
 
         def advance(pos_a, vel_a, t_a, t1):
             """Advance the anchored stream to absolute MD timestep t1.
@@ -315,9 +352,16 @@ class SRD:
             addition is not associative, and per-chunk partial streaming
             would make trajectories depend on how run() was chunked.
             """
-            # collision events at t % period == 0 within (t_a, t1]
+            # collision events at t % period == 0 within (t_a, t1]; in
+            # coupled mode the CollisionCoupling updater owns every
+            # collision (jointly with the MD solutes), and this hook only
+            # streams + evaluates the observable state
             first = (t_a // period + 1) * period
-            n_events = jnp.maximum((t1 - first) // period + 1, 0)
+            n_events = (
+                jnp.int32(0)
+                if coupled
+                else jnp.maximum((t1 - first) // period + 1, 0)
+            )
 
             def body(_, carry):
                 pos_a, vel_a, t_a = carry
@@ -354,3 +398,101 @@ class SRD:
         out["velocity"] = vel
         out["_srd_anchor"] = (pos_a, vel_a, t_a)
         return out
+
+
+class CollisionCoupling:
+    """Embed the MD solutes in the SRD collisions (collisional coupling,
+    Malevanets & Kapral 1999) — momentum exchanges between solvent and
+    solutes, giving the solutes hydrodynamic drag, advection, and a
+    thermal bath, without any explicit solvent-solute pair potential.
+
+    Registers as an updater (the run loop already splits compiled chunks
+    at updater triggers, so the joint collision applies between chunks):
+
+        srd = az.mpcd.SRD(dt=dt, period=20, cell_size=1.0, kT=1.0)
+        sim.mpcd_dynamics = srd
+        sim.operations.updaters.append(az.mpcd.CollisionCoupling(srd))
+
+    Cell averages become mass-weighted over solvent + real MD particles;
+    both streams' relative velocities rotate. This EXCEEDS the reference
+    plugin's boundary (it only reads the solvent), matching what HOOMD's
+    own mpcd module provides for embedded particles.
+    """
+
+    _updates_mpcd = True
+
+    def __init__(self, srd: SRD):
+        from .md.trigger import Periodic
+
+        self.srd = srd
+        self.trigger = Periodic(srd.period)
+        srd._coupled = True
+        srd._advance_jit = None  # the advance closure reads the flag
+        self._fire_jit = None
+        self._attached = False
+
+    def _attach(self, sim):
+        if sim._mpcd is None:
+            raise ValueError(
+                "CollisionCoupling needs an MPCD stream in the snapshot "
+                "(Snapshot(mpcd_N=...))"
+            )
+        if sim.mpcd_dynamics is not self.srd:
+            raise ValueError(
+                "set sim.mpcd_dynamics to the same SRD object the "
+                "CollisionCoupling wraps"
+            )
+        self._attached = True
+
+    def _fire_mpcd(self, sim, t: int):
+        """Joint collision at absolute timestep t (host boundary)."""
+        srd = self.srd
+        box = sim._state.box
+        if srd._advance_jit is None:
+            srd._build(box, sim.seed)
+        mpcd = sim._mpcd
+        anchor = mpcd.get("_srd_anchor") or (
+            mpcd["position"], mpcd["velocity"], jnp.int32(t),
+        )
+        if self._fire_jit is None:
+            L = jnp.asarray(
+                [float(box.L[0]), float(box.L[1]), float(box.L[2])],
+                jnp.float32,
+            )
+            mass_s = float(mpcd["mass"])
+            seed = sim.seed
+
+            @jax.jit
+            def fire(pos_a, vel_a, t_a, t, dpos, dvel, dmass, dtag):
+                pos_s, vel_s = srd._stream(pos_a, vel_a, t - t_a, L)
+                N_s = pos_s.shape[0]
+                inval_m = dtag < 0
+                pos = jnp.concatenate([pos_s, dpos], axis=0)
+                vel = jnp.concatenate([vel_s, dvel], axis=0)
+                mass = jnp.concatenate(
+                    [jnp.full((N_s,), mass_s, jnp.float32),
+                     jnp.where(inval_m, 0.0, dmass)]
+                )
+                invalid = jnp.concatenate(
+                    [jnp.zeros((N_s,), bool), inval_m]
+                )
+                vnew = srd._collide(
+                    pos, vel, t, L, seed, mass=mass, invalid=invalid,
+                    n_fill=N_s, mass_fill=mass_s,
+                )
+                return pos_s, vnew[:N_s], vnew[N_s:]
+
+            self._fire_jit = fire
+
+        pos_s, vel_s, vel_m = self._fire_jit(
+            anchor[0], anchor[1], jnp.int32(anchor[2]), jnp.int32(t),
+            sim._dense.position, sim._dense.velocity, sim._dense.mass,
+            sim._dense.tag,
+        )
+        sim._dense = sim._dense.replace(velocity=vel_m)
+        sim._mpcd = {
+            **mpcd,
+            "position": pos_s,
+            "velocity": vel_s,
+            "_srd_anchor": (pos_s, vel_s, jnp.int32(t)),
+        }

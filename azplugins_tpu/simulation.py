@@ -799,6 +799,12 @@ class Simulation:
         for i, u in enumerate(self.operations.updaters):
             if _next_fire(u.trigger, t) != t:
                 continue
+            if getattr(u, "_updates_mpcd", False):
+                # joint MD+solvent operation (mpcd.CollisionCoupling):
+                # owns its own jit and writes both streams
+                u._fire_mpcd(self, t)
+                self._state_stale = True
+                continue
             fn = self._updater_jit.get(i)
             if fn is None:
                 fn = self._updater_jit[i] = jax.jit(

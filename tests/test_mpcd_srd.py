@@ -193,6 +193,75 @@ def test_srd_checkpoint_roundtrip(tmp_path):
     np.testing.assert_array_equal(np.asarray(c._mpcd["position"]), ref)
 
 
+def _coupled_sim(N_s=4000, N_m=32, L=8.0, mass_m=5.0, seed=3,
+                 solvent_drift=0.0, kT=None, period=10):
+    rng = np.random.default_rng(seed)
+    snap = az.Snapshot(N=N_m, mpcd_N=N_s)
+    snap.configuration.box = [L, L, L, 0, 0, 0]
+    snap.particles.types = ["C"]
+    snap.particles.position[:] = (rng.random((N_m, 3)) - 0.5) * L
+    snap.particles.mass[:] = mass_m
+    snap.mpcd.position[:] = (rng.random((N_s, 3)) - 0.5) * L
+    snap.mpcd.velocity[:] = rng.normal(0, 1.0, (N_s, 3))
+    snap.mpcd.velocity[:] -= snap.mpcd.velocity.mean(axis=0)
+    snap.mpcd.velocity[:, 0] += solvent_drift
+    sim = az.Simulation(seed=13)
+    sim.create_state_from_snapshot(snap)
+    sim.operations.integrator = az.md.Integrator(
+        dt=0.02, methods=[az.md.methods.ConstantVolume()], forces=[]
+    )
+    srd = az.mpcd.SRD(dt=0.02, period=period, angle=130.0, cell_size=1.0,
+                      kT=kT)
+    sim.mpcd_dynamics = srd
+    sim.operations.updaters.append(az.mpcd.CollisionCoupling(srd))
+    return sim
+
+
+def test_coupling_conserves_momentum_and_energy():
+    """A joint collision is a mass-weighted rotation about each cell's
+    COM: total (solvent + solute) momentum and kinetic energy are exact
+    invariants."""
+    sim = _coupled_sim()
+    m_m = np.asarray(sim._state.mass)
+    v_m0 = np.asarray(sim._state.velocity)
+    v_s0 = np.asarray(sim._mpcd["velocity"])
+    p0 = v_s0.sum(axis=0) + (m_m[:, None] * v_m0).sum(axis=0)
+    e0 = np.sum(v_s0**2) + np.sum(m_m[:, None] * v_m0**2)
+    sim.run(60)
+    v_m1 = np.asarray(sim.state.get_snapshot().particles.velocity)
+    v_s1 = np.asarray(sim._mpcd["velocity"])
+    assert not np.allclose(v_m1, v_m0)  # solutes were kicked
+    p1 = v_s1.sum(axis=0) + (m_m[:, None] * v_m1).sum(axis=0)
+    e1 = np.sum(v_s1**2) + np.sum(m_m[:, None] * v_m1**2)
+    np.testing.assert_allclose(p1, p0, atol=5e-2)
+    np.testing.assert_allclose(e1, e0, rtol=5e-4)
+
+
+def test_coupling_advects_solutes():
+    """Solutes at rest in a uniformly drifting solvent acquire the drift
+    velocity through collisions alone (no explicit drag force)."""
+    sim = _coupled_sim(solvent_drift=0.6, period=5)
+    sim.run(200)
+    v_m = np.asarray(sim.state.get_snapshot().particles.velocity)
+    assert abs(v_m[:, 0].mean() - 0.6) < 0.15, v_m[:, 0].mean()
+    assert abs(v_m[:, 1].mean()) < 0.15
+
+
+def test_coupling_chunking_invariant():
+    a = _coupled_sim(seed=7)
+    a.run(50)
+    b = _coupled_sim(seed=7)
+    for n in (9, 21, 20):
+        b.run(n)
+    np.testing.assert_array_equal(
+        np.asarray(a.state.get_snapshot().particles.velocity),
+        np.asarray(b.state.get_snapshot().particles.velocity),
+    )
+    np.testing.assert_array_equal(
+        np.asarray(a._mpcd["position"]), np.asarray(b._mpcd["position"])
+    )
+
+
 def test_srd_rejects_bad_geometry():
     sim = _solvent_sim(mpcd_kwargs=dict(cell_size=0.9))
     with pytest.raises(ValueError, match="multiple"):
