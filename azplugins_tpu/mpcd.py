@@ -26,9 +26,11 @@ TPU-natively:
   sampling-free analog of HOOMD's MBS thermostat; without it SRD
   conserves energy exactly and heats only through the body force).
 
-The solvent does not couple to MD solutes (the reference's read-only
-boundary); observables (VelocityCompute / VelocityFieldCompute with
-``include_mpcd_particles=True``) read the advanced stream.
+By default the solvent does not couple to MD solutes (the reference's
+read-only boundary); observables (VelocityCompute / VelocityFieldCompute
+with ``include_mpcd_particles=True``) read the advanced stream. Opt-in
+momentum exchange with MD particles is provided by
+:class:`CollisionCoupling`.
 """
 
 from __future__ import annotations
@@ -65,7 +67,9 @@ class SRD:
         integer multiple.
     kT : float or None
         Cell-level velocity-rescale thermostat target; None = micro-
-        canonical SRD (energy conserved exactly).
+        canonical SRD (energy conserved exactly). Required with
+        ``plates``: the no-slip virtual-particle fill samples phantom
+        wall momenta at kT, which makes the walls a thermal boundary.
     body_force : 3-sequence or None
         Constant acceleration (force per unit mass) applied during
         streaming — e.g. a pressure-gradient driving field.
@@ -97,10 +101,17 @@ class SRD:
                 raise ValueError(
                     "body force must be tangential to the plates"
                 )
+            if self.kT is None:
+                raise ValueError(
+                    "plates require kT: the no-slip virtual-particle "
+                    "fill samples phantom wall momenta at kT (the walls "
+                    "are a thermal boundary, not microcanonical)"
+                )
         else:
             self.plates = None
         self._advance_jit = None
         self._dims = None
+        self._built_key = None  # (L, seed) the advance closure was built for
 
     # -- wiring ------------------------------------------------------------
     def _validate(self, box):
@@ -117,6 +128,39 @@ class SRD:
                 )
             dims.append(max(1, int(round(n))))
         self._dims = tuple(dims)
+
+    def _grid_dims(self):
+        """Collision-grid cell counts, per axis.
+
+        The wall axis (plates) is NOT periodic: with a grid shift the
+        topmost layer must bin into an extra boundary cell, never wrap
+        across the seam into the bottom layer — a wrapped seam cell
+        would rotate momentum THROUGH the plates. The shifted grid
+        along that axis has D+1 cells spanning [-L/2 - s, L/2 + a - s).
+        """
+        dims_l = list(self._dims)
+        if self.plates is not None:
+            dims_l[self.plates[0]] += 1
+        return dims_l
+
+    def _cell_ids(self, pos, shift):
+        """Bin positions into collision cells under a grid shift.
+
+        Periodic axes wrap; the plates axis (if any) bins unwrapped
+        into the extended grid (see _grid_dims).
+        """
+        Dx, Dy, Dz = self._grid_dims()
+        a = jnp.float32(self.cell_size)
+        # cell units from the box corner; wrap the periodic axes only
+        dims0 = jnp.asarray(self._dims, jnp.float32)
+        su = pos / a + shift / a + dims0 * 0.5
+        su_wrapped = su - jnp.floor(su / dims0) * dims0
+        if self.plates is not None:
+            wall_ax = self.plates[0]
+            su_wrapped = su_wrapped.at[:, wall_ax].set(su[:, wall_ax])
+        dims = jnp.asarray([Dx, Dy, Dz], jnp.int32)
+        idx = jnp.clip(jnp.floor(su_wrapped).astype(jnp.int32), 0, dims - 1)
+        return (idx[:, 0] * Dy + idx[:, 1]) * Dz + idx[:, 2]
 
     # -- physics -----------------------------------------------------------
     def _stream(self, pos, vel, n_steps, L):
@@ -188,7 +232,8 @@ class SRD:
         count when the arrays also carry solutes.
         """
         N = pos.shape[0]
-        Dx, Dy, Dz = self._dims
+        dims_l = self._grid_dims()
+        Dx, Dy, Dz = dims_l
         C = Dx * Dy * Dz
         a = jnp.float32(self.cell_size)
         key = jax.random.fold_in(
@@ -202,14 +247,7 @@ class SRD:
             if self.shift
             else jnp.zeros((3,), jnp.float32)
         )
-        frac = (pos + shift) / L + 0.5
-        frac = frac - jnp.floor(frac)
-        dims = jnp.asarray([Dx, Dy, Dz], jnp.int32)
-        idx = jnp.clip(
-            jnp.floor(frac * dims.astype(jnp.float32)).astype(jnp.int32),
-            0, dims - 1,
-        )
-        cid = (idx[:, 0] * Dy + idx[:, 1]) * Dz + idx[:, 2]
+        cid = self._cell_ids(pos, shift)
         if invalid is not None:
             cid = jnp.where(invalid, C, cid)  # trash cell, excluded below
         m = (
@@ -256,7 +294,7 @@ class SRD:
         if self.plates is not None:
             pax, H = self.plates
             a_f = jnp.float32(self.cell_size)
-            D_ax = self._dims[pax]
+            D_ax = dims_l[pax]  # extended: D+1 shifted cells on the wall axis
             Lax = L[pax]
             iax = jnp.arange(D_ax, dtype=jnp.float32)
             lo = iax * a_f - Lax / 2.0 - shift[pax]
@@ -271,16 +309,15 @@ class SRD:
                 a_f**3
             ) / (jnp.prod(L) * jnp.float32(H) / Lax)
             nv_ax = rho_cell * (1.0 - inside / a_f)  # [D_ax]
-            Dx_, Dy_, Dz_ = self._dims
             allc = jnp.arange(C, dtype=jnp.int32)
             if pax == 2:
-                idx_ax = allc % Dz_
+                idx_ax = allc % Dz
             elif pax == 1:
-                idx_ax = (allc // Dz_) % Dy_
+                idx_ax = (allc // Dz) % Dy
             else:
-                idx_ax = allc // (Dy_ * Dz_)
+                idx_ax = allc // (Dy * Dz)
             n_virt = jnp.take(nv_ax, idx_ax)
-            kT_v = jnp.float32(self.kT if self.kT is not None else 1.0)
+            kT_v = jnp.float32(self.kT)  # required with plates (__init__)
             mf = jnp.float32(mass_fill)
             pv = jax.random.normal(kvirt, (C, 3), jnp.float32) * jnp.sqrt(
                 jnp.maximum(n_virt, 0.0) * kT_v * mf
@@ -334,8 +371,13 @@ class SRD:
             vnew = jnp.where(invalid[:, None], vel, vnew)
         return vnew
 
+    @staticmethod
+    def _box_key(box, seed):
+        return (float(box.L[0]), float(box.L[1]), float(box.L[2]), int(seed))
+
     def _build(self, box, seed):
         self._validate(box)
+        self._built_key = self._box_key(box, seed)
         L = jnp.asarray(
             [float(box.L[0]), float(box.L[1]), float(box.L[2])], jnp.float32
         )
@@ -382,7 +424,11 @@ class SRD:
     def _advance(self, mpcd: dict, box, t0: int, t1: int, seed: int) -> dict:
         if t1 <= t0 or mpcd is None:
             return mpcd
-        if self._advance_jit is None:
+        if self._advance_jit is None or self._built_key != self._box_key(
+            box, seed
+        ):
+            # rebuild on box/seed change (e.g. set_snapshot with a new
+            # box): the closure bakes L and the cell dims in
             self._build(box, seed)
         anchor = mpcd.get("_srd_anchor")
         if anchor is None:
@@ -425,10 +471,15 @@ class CollisionCoupling:
         from .md.trigger import Periodic
 
         self.srd = srd
-        self.trigger = Periodic(srd.period)
+        # a trigger at step t fires AFTER step t completes (MD clock
+        # t+1), so phase period-1 lands the joint collision at MD clock
+        # multiples of the period — solvent and solutes collide at the
+        # SAME time
+        self.trigger = Periodic(srd.period, phase=srd.period - 1)
         srd._coupled = True
         srd._advance_jit = None  # the advance closure reads the flag
         self._fire_jit = None
+        self._fire_key = None
         self._attached = False
 
     def _attach(self, sim):
@@ -445,16 +496,26 @@ class CollisionCoupling:
         self._attached = True
 
     def _fire_mpcd(self, sim, t: int):
-        """Joint collision at absolute timestep t (host boundary)."""
+        """Joint collision after step ``t`` completes (host boundary).
+
+        The run loop hands updaters the completed step index t; the MD
+        dense state is at clock t+1, so the solvent streams to t+1 and
+        the joint collision keys on t+1 — both streams at the same time.
+        """
         srd = self.srd
         box = sim._state.box
-        if srd._advance_jit is None:
+        tc = t + 1  # MD clock of the dense state at this host boundary
+        if srd._advance_jit is None or srd._built_key != srd._box_key(
+            box, sim.seed
+        ):
             srd._build(box, sim.seed)
         mpcd = sim._mpcd
         anchor = mpcd.get("_srd_anchor") or (
-            mpcd["position"], mpcd["velocity"], jnp.int32(t),
+            mpcd["position"], mpcd["velocity"], jnp.int32(tc),
         )
-        if self._fire_jit is None:
+        fire_key = (srd._box_key(box, sim.seed), float(mpcd["mass"]))
+        if self._fire_jit is None or self._fire_key != fire_key:
+            self._fire_key = fire_key
             L = jnp.asarray(
                 [float(box.L[0]), float(box.L[1]), float(box.L[2])],
                 jnp.float32,
@@ -485,7 +546,7 @@ class CollisionCoupling:
             self._fire_jit = fire
 
         pos_s, vel_s, vel_m = self._fire_jit(
-            anchor[0], anchor[1], jnp.int32(anchor[2]), jnp.int32(t),
+            anchor[0], anchor[1], jnp.int32(anchor[2]), jnp.int32(tc),
             sim._dense.position, sim._dense.velocity, sim._dense.mass,
             sim._dense.tag,
         )
@@ -494,5 +555,5 @@ class CollisionCoupling:
             **mpcd,
             "position": pos_s,
             "velocity": vel_s,
-            "_srd_anchor": (pos_s, vel_s, jnp.int32(t)),
+            "_srd_anchor": (pos_s, vel_s, jnp.int32(tc)),
         }

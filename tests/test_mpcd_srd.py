@@ -278,3 +278,80 @@ def test_srd_rejects_bad_geometry():
     sim2.mpcd_dynamics = az.mpcd.SRD(dt=0.01)
     with pytest.raises(ValueError, match="orthorhombic"):
         sim2.run(5)
+
+
+# -- round-3 review regressions ---------------------------------------------
+
+
+def test_srd_plates_require_kT():
+    """The no-slip virtual fill samples wall momenta at kT: plates
+    without a thermostat target would silently thermalize the boundary
+    layer at an arbitrary temperature."""
+    with pytest.raises(ValueError, match="kT"):
+        az.mpcd.SRD(dt=0.02, plates=("z", 8.0))
+
+
+def test_srd_plates_seam_binning():
+    """Regression: with a grid shift, the layer at the top plate must
+    bin into the extra boundary cell, never wrap across the periodic
+    seam into the bottom layer — a shared seam cell would rotate
+    momentum THROUGH the walls."""
+    from azplugins_tpu.core.box import Box
+
+    L = 8.0
+    srd = az.mpcd.SRD(dt=0.02, cell_size=1.0, kT=1.0, plates=("z", L))
+    srd._validate(Box.cube(L))
+    eps = 1e-3
+    pos = jnp.asarray(
+        [[0.0, 0.0, L / 2 - eps], [0.0, 0.0, -L / 2 + eps]], jnp.float32
+    )
+    for s in np.linspace(0.0, 0.999, 21):
+        shift = jnp.asarray([0.0, 0.0, s], jnp.float32)
+        cid = np.asarray(srd._cell_ids(pos, shift))
+        assert cid[0] != cid[1], s
+    # sanity: an unconfined axis DOES wrap (periodic images share cells)
+    srd_p = az.mpcd.SRD(dt=0.02, cell_size=1.0)
+    srd_p._validate(Box.cube(L))
+    pos_x = jnp.asarray(
+        [[L / 2 - eps, 0.0, 0.0], [-L / 2 + eps, 0.0, 0.0]], jnp.float32
+    )
+    cid = np.asarray(
+        srd_p._cell_ids(pos_x, jnp.asarray([0.5, 0.0, 0.0], jnp.float32))
+    )
+    assert cid[0] == cid[1]
+
+
+def test_coupling_anchor_matches_md_clock():
+    """Regression: the joint collision must act on solvent and solutes
+    at the SAME time — after a coupled fire, the solvent anchor sits at
+    the MD clock, not one step behind."""
+    sim = _coupled_sim(period=10)
+    sim.run(10)
+    assert int(sim._mpcd["_srd_anchor"][2]) == sim._timestep == 10
+    sim.run(7)  # mid-interval: no fire, anchor stays at the collision
+    assert int(sim._mpcd["_srd_anchor"][2]) == 10
+    sim.run(3)
+    assert int(sim._mpcd["_srd_anchor"][2]) == sim._timestep == 20
+
+
+def test_srd_rebuilds_on_box_change():
+    """Regression: the advance closure bakes the box in; a new box
+    (set_snapshot) must rebuild it instead of wrapping to stale L."""
+    from azplugins_tpu.core.box import Box
+
+    rng = np.random.default_rng(0)
+
+    def stream(L):
+        return {
+            "position": jnp.asarray(
+                (rng.random((64, 3)) - 0.5) * L, jnp.float32
+            ),
+            "velocity": jnp.asarray(rng.normal(0, 1, (64, 3)), jnp.float32),
+        }
+
+    srd = az.mpcd.SRD(dt=0.02, period=1, cell_size=1.0)
+    srd._advance(stream(8.0), Box.cube(8.0), 0, 2, seed=1)
+    assert srd._dims == (8, 8, 8)
+    out = srd._advance(stream(16.0), Box.cube(16.0), 0, 2, seed=1)
+    assert srd._dims == (16, 16, 16)
+    assert np.all(np.abs(np.asarray(out["position"])) <= 8.0 + 1e-5)
