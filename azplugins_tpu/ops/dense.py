@@ -116,7 +116,8 @@ class GridSpec:
 
     @classmethod
     def create(cls, box: Box, N: int, r_cut: float, buffer: float,
-               safety: float = 1.18, dx_multiple: int = 1):
+               safety: float = 1.18, dx_multiple: int = 1,
+               strip_devices: int = 1):
         """Size the grid. Pair work scales with cap^2, so the capacity is
         chosen tight: in a dense liquid, repulsion anti-correlates occupancy
         (measured max 45 at mean 37 for 64k LJ at rho=0.85), far below the
@@ -128,6 +129,11 @@ class GridSpec:
         decomposition needs one or more whole x cell planes per device).
         Rounding DOWN stays correct — fewer, wider cells still cover
         every pair within r_list — at some extra pair-slot cost.
+
+        ``strip_devices``: force Dx*Dy divisible by this (spatial strip
+        decomposition needs whole z cell columns per device — weaker
+        than dx_multiple, so it keeps working when devices outnumber x
+        planes). Snaps (Dx, Dy) down to the largest commensurate product.
         """
         npd = np.asarray(box.nearest_plane_distance())
         r_list = r_cut + buffer
@@ -142,6 +148,24 @@ class GridSpec:
                     "along x (use fewer devices or a larger box)"
                 )
             dims = (dx,) + dims[1:]
+        if strip_devices > 1 and (dims[0] * dims[1]) % strip_devices != 0:
+            n = strip_devices
+            best = None
+            for dx in range(dims[0], 0, -1):
+                for dy in range(dims[1], 0, -1):
+                    if (dx * dy) % n == 0:
+                        # largest dy for this dx; smaller dy only shrinks
+                        if best is None or dx * dy > best[0] * best[1]:
+                            best = (dx, dy)
+                        break
+            if best is None:
+                raise ValueError(
+                    f"cannot give each of {n} spatial strips a whole z "
+                    f"cell column: the box fits only {dims[0]}x{dims[1]} "
+                    f"columns of width >= r_cut + buffer (use fewer "
+                    "devices or a larger box)"
+                )
+            dims = (best[0], best[1], dims[2])
         # cells are at least r_list wide, usually wider (floor); claim the
         # whole cell width as Verlet margin so rebuilds trigger as late as
         # the stencil actually allows: pairs stay covered while

@@ -1,24 +1,31 @@
-"""Spatial domain decomposition: x-slab sharding + ppermute halo migration.
+"""Spatial domain decomposition: strip sharding + ppermute halo migration.
 
 Phase-2 distribution (SURVEY §2.12, VERDICT r1 item 9). The dense slot
 layout is cell-major, so sharding the slot axis of a 1-D device mesh into
-contiguous blocks IS a spatial decomposition into x-slabs (slot =
-((cx*Dy + cy)*Dz + cz)*cap + r). The force stencil already crosses slab
-boundaries through XLA's partitioner (halo pads lower to collective
-permutes). What this module adds is a **local rebin**: instead of the
-global ``lax.sort`` over all S slots (an all-to-all at scale), each
-device re-bins only its own slab and exchanges boundary-crossing
-particles with its two neighbors via ``lax.ppermute`` over ICI — the
+contiguous blocks IS a spatial decomposition (slot =
+((cx*Dy + cy)*Dz + cz)*cap + r): each device owns a contiguous run of
+whole z cell columns in the (cx, cy)-lexicographic order. When each block
+is one or more whole x planes (Dx % n == 0) the domains are the classic
+**x-slabs**; when a plane splits across devices the domains are
+**(x, y)-strips** — a 2-D decomposition that keeps working past
+n > Dx, where slabs would run out of planes. The force stencil already
+crosses block boundaries through XLA's partitioner (halo pads lower to
+collective permutes). What this module adds is a **local rebin**: instead
+of the global ``lax.sort`` over all S slots (an all-to-all at scale),
+each device re-bins only its own block and exchanges boundary-crossing
+particles with its ring neighbors via ``lax.ppermute`` over ICI — the
 TPU-native analog of HOOMD's MPI particle migration.
 
 Correctness invariant: between rebuilds particles drift at most the
-Verlet margin (< one cell width < one slab), so a particle's destination
-slab is its own or an adjacent one; anything farther raises the overflow
-flag (transactional replay upstream). The local sort keys on
-(cell, GLOBAL input row), which is exactly the global fused-key order
-restricted to the slab — the resulting slot layout is **bitwise
-identical** to ``ops.dense.rebin`` (tested), so trajectories do not
-depend on which rebin path ran.
+Verlet margin (< one cell width), so a particle's destination cell is at
+most one cell away per axis. In block units that bounds the ring-hop
+distance by a small integer H (exactly 1 for whole-plane slabs; computed
+exactly per grid by ``_hop_bound``); migrants ride one of 2*H ppermute
+buffers, and anything farther raises the overflow flag (transactional
+replay upstream). The local sort keys on (cell, GLOBAL input row), which
+is exactly the global fused-key order restricted to the block — the
+resulting slot layout is **bitwise identical** to ``ops.dense.rebin``
+(tested), so trajectories do not depend on which rebin path ran.
 
 Reference parity: HOOMD's domain decomposition + ghost migration is the
 substrate the plugin assumes (SURVEY §2.13); plugin-level collectives
@@ -28,6 +35,8 @@ arrays.
 """
 
 from __future__ import annotations
+
+import numpy as np
 
 import jax
 import jax.numpy as jnp
@@ -41,11 +50,38 @@ __all__ = ["spatial_rebin", "slab_migrate_capacity"]
 
 def slab_migrate_capacity(spec: D.GridSpec, n_devices: int) -> int:
     """Default per-direction migrant buffer: one face layer of cells at
-    half capacity, rounded up to 8. Particles cross a slab face only by
-    drifting less than the Verlet margin, so a face layer is generous."""
+    half capacity (capped at the block size), rounded up to 8. Particles
+    cross a block face only by drifting less than the Verlet margin, so
+    a face layer is generous."""
     Dy, Dz = spec.dims[1], spec.dims[2]
-    m = max(8, (Dy * Dz * spec.cap) // 2)
+    c_loc = spec.n_cells // max(1, n_devices)
+    m = max(8, (min(Dy * Dz, c_loc) * spec.cap) // 2)
     return int((m + 7) // 8 * 8)
+
+
+def _hop_bound(dims, n: int) -> int:
+    """Exact max ring-hop distance a one-cell-per-axis drift can produce.
+
+    Blocks are contiguous runs of cols_loc = Dx*Dy/n whole z columns in
+    (cx, cy)-lexicographic order; a drift of at most one cell per axis
+    (incl. periodic wraps) moves a particle's column, hence its block, a
+    bounded ring distance. Enumerated exactly on the host (vectorized
+    over all columns x 9 moves): whole-plane slabs give 1, sub-plane
+    strips give ceil-like bounds (e.g. y-wrap hops most of a plane).
+    """
+    Dx, Dy, _ = dims
+    cols = Dx * Dy
+    cols_loc = cols // n
+    q = np.arange(cols)
+    cx, cy = q // Dy, q % Dy
+    b = q // cols_loc
+    h = 0
+    for dx in (-1, 0, 1):
+        for dy in (-1, 0, 1):
+            q2 = ((cx + dx) % Dx) * Dy + ((cy + dy) % Dy)
+            off = (q2 // cols_loc - b) % n
+            h = max(h, int(np.minimum(off, n - off).max()))
+    return h
 
 
 def spatial_rebin(
@@ -60,21 +96,26 @@ def spatial_rebin(
     axis: str = "d",
     migrate_cap: int | None = None,
 ):
-    """Slab-local rebin with neighbor migration. Drop-in for ops.dense.rebin.
+    """Block-local rebin with neighbor migration. Drop-in for ops.dense.rebin.
 
-    Requires ``Dx % n_devices == 0`` (slabs aligned to whole cell planes).
+    Requires ``(Dx * Dy) % n_devices == 0`` (blocks aligned to whole z
+    cell columns; whole x planes when Dx % n == 0 — the slab case).
     Returns (dense, meta) with the identical slot layout the global rebin
     would produce.
     """
     n = int(mesh.shape[axis])
     Dx, Dy, Dz = spec.dims
-    if Dx % n != 0:
-        raise ValueError(f"Dx={Dx} must be divisible by the mesh size {n}")
+    if (Dx * Dy) % n != 0:
+        raise ValueError(
+            f"Dx*Dy={Dx * Dy} must be divisible by the mesh size {n} "
+            "(blocks align to whole z cell columns)"
+        )
     C = spec.n_cells
     S = spec.S
     cap = spec.cap
-    C_loc = (Dx // n) * Dy * Dz
+    C_loc = C // n
     S_loc = C_loc * cap
+    H = _hop_bound(spec.dims, n)  # static max ring-hop per rebuild
     M = migrate_cap if migrate_cap is not None else slab_migrate_capacity(spec, n)
     layout = D._payload_layout(fields)
     K = sum(w for _, w, _ in layout)
@@ -104,15 +145,19 @@ def spatial_rebin(
         is_real = cid_l < C
         dest = jnp.where(is_real, cid_l // C_loc, d)
         stay = is_real & (dest == d)
-        # neighbor aliasing: with n == 1 both neighbors ARE this device
-        # (stay covers everything, both buffers must be empty), and with
-        # n == 2 the left and right neighbor are the SAME device — a
-        # migrant must ride exactly one buffer or it arrives twice.
-        # ~stay plus the left != right gate handles both degeneracies.
-        left, right = (d - 1) % n, (d + 1) % n
-        go_l = is_real & ~stay & (dest == left)
-        go_r = is_real & ~stay & (dest == right) & (n > 2)
-        lost = is_real & ~(stay | go_l | go_r)
+        # ring-hop routing: a migrant rides exactly ONE buffer (or it
+        # would arrive twice). Hop distances are measured both ways
+        # around the device ring; ties (dest exactly opposite — incl.
+        # the n == 2 degeneracy where both neighbors are the same
+        # device) resolve to the left buffer. With n == 1, off == 0
+        # everywhere: stay covers everything and no buffer fills.
+        off = (dest - d) % n
+        hop_r = off
+        hop_l = jnp.where(off == 0, n, n - off)
+        mig = is_real & ~stay
+        use_l = mig & (hop_l <= H) & (hop_l <= hop_r)
+        use_r = mig & (hop_r <= H) & (hop_r < hop_l)
+        lost = mig & ~(use_l | use_r)
 
         # migrant buffers: payload + cid + gidx, cid=C marks empty rows
         mig_data = jnp.concatenate(
@@ -134,21 +179,25 @@ def spatial_rebin(
             buf = buf.at[M].set(empty_row)
             return buf[:M], jnp.sum(mask.astype(jnp.int32)) > M
 
-        lbuf, ovl = pack_migrants(go_l)
-        rbuf, ovr = pack_migrants(go_r)
-        perm_left = [(i, (i - 1) % n) for i in range(n)]
-        perm_right = [(i, (i + 1) % n) for i in range(n)]
-        recv_r = jax.lax.ppermute(lbuf, axis, perm_left)  # right nbr's go_l
-        recv_l = jax.lax.ppermute(rbuf, axis, perm_right)  # left nbr's go_r
+        # one buffer pair per hop distance; the local sort below keys on
+        # the global input row, so candidate order cannot affect the
+        # output layout
+        recvs = []
+        ov_mig = jnp.asarray(False)
+        for h in range(1, H + 1):
+            lbuf, ovl = pack_migrants(use_l & (hop_l == h))
+            rbuf, ovr = pack_migrants(use_r & (hop_r == h))
+            ov_mig = ov_mig | ovl | ovr
+            perm_left = [(i, (i - h) % n) for i in range(n)]
+            perm_right = [(i, (i + h) % n) for i in range(n)]
+            recvs.append(jax.lax.ppermute(lbuf, axis, perm_left))
+            recvs.append(jax.lax.ppermute(rbuf, axis, perm_right))
 
         # candidate set: local stays + received migrants
         cid_stay = jnp.where(stay, cid_l, C)
         cand = jnp.concatenate(
-            [
-                jnp.concatenate([packed_l, cid_stay[:, None], gidx[:, None]], 1),
-                recv_l,
-                recv_r,
-            ],
+            [jnp.concatenate([packed_l, cid_stay[:, None], gidx[:, None]], 1)]
+            + recvs,
             axis=0,
         )  # [n_cand, K+2]
         n_cand = cand.shape[0]
@@ -173,7 +222,7 @@ def spatial_rebin(
         start = jnp.searchsorted(crel_s, jnp.arange(C_loc + 1, dtype=jnp.int32))
         start = start.astype(jnp.int32)
         counts = start[1:] - start[:-1]
-        overflow = jnp.any(counts > cap) | ovl | ovr | jnp.any(lost)
+        overflow = jnp.any(counts > cap) | ov_mig | jnp.any(lost)
 
         rank_b = jax.lax.broadcasted_iota(jnp.int32, (C_loc, cap), 1)
         src = start[:C_loc, None] + rank_b

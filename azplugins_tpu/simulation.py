@@ -282,15 +282,16 @@ class Simulation:
                 buffer = max(buffer, f.nlist.buffer)
         if has_pair:
             state = self._synced_state()
-            # spatial decomposition needs whole x cell planes per slab:
-            # snap Dx down to a mesh-size multiple at grid creation
+            # spatial decomposition needs whole z cell columns per
+            # device: snap Dx*Dy to a mesh-size-commensurate product at
+            # grid creation (whole x planes — slabs — when they divide)
             dxm = (
                 int(self._spatial_mesh.shape["d"])
                 if self._spatial_mesh is not None
                 else 1
             )
             new_spec = D.GridSpec.create(
-                state.box, self._state.N, r_cut, buffer, dx_multiple=dxm
+                state.box, self._state.N, r_cut, buffer, strip_devices=dxm
             )
             # size cap for the *actual* starting configuration (host-side):
             # commensurate lattices concentrate particles far above the mean,
@@ -308,6 +309,10 @@ class Simulation:
                 self._drop_dense()
         else:
             if self._grid_spec is not None:
+                # sync BEFORE dropping: a mid-trajectory re-attach (ops
+                # fingerprint change) must not roll the state back to the
+                # last host sync
+                self._synced_state()
                 self._drop_dense()
             self._grid_spec = None
         new_fields = self._select_fields()
@@ -474,11 +479,12 @@ class Simulation:
         if mesh is not None and spec is not None:
             from .parallel.spatial import spatial_rebin as _spatial_rebin
 
-            n_slabs = mesh.shape["d"]
-            if spec.dims[0] % n_slabs != 0:
+            n_blocks = mesh.shape["d"]
+            if (spec.dims[0] * spec.dims[1]) % n_blocks != 0:
                 raise ValueError(
-                    f"spatial decomposition needs Dx ({spec.dims[0]}) "
-                    f"divisible by the mesh size ({n_slabs})"
+                    f"spatial decomposition needs Dx*Dy "
+                    f"({spec.dims[0]}*{spec.dims[1]}) divisible by the "
+                    f"mesh size ({n_blocks})"
                 )
             mig = self._spatial_migrate_cap
 
@@ -630,18 +636,21 @@ class Simulation:
         )
 
     def enable_spatial_decomposition(self, mesh, migrate_cap: int | None = None):
-        """Distribute the simulation over ``mesh`` as x-slab spatial domains.
+        """Distribute the simulation over ``mesh`` as spatial domains.
 
-        The cell-major slot axis shards into contiguous x-slabs (SURVEY
-        §2.12); segment rebuilds run the slab-local ppermute-migration
-        rebin (parallel/spatial.py) instead of the global sort, and the
-        force stencil's halo pads lower to collective permutes across
-        slab boundaries. Trajectories are bitwise identical to the
+        The cell-major slot axis shards into contiguous blocks of whole
+        z cell columns (SURVEY §2.12): whole x planes — classic slabs —
+        when Dx divides the mesh size, sub-plane (x, y) strips otherwise
+        (so more devices than x planes still decompose). Segment
+        rebuilds run the block-local ppermute-migration rebin
+        (parallel/spatial.py) instead of the global sort, and the force
+        stencil's halo pads lower to collective permutes across block
+        boundaries. Trajectories are bitwise identical to the
         single-device run (the spatial rebin reproduces the global slot
-        layout exactly). The grid's Dx is snapped down to a mesh-size
-        multiple at creation (GridSpec.create dx_multiple) so each slab
-        owns whole cell planes; an incommensurate existing grid is
-        rebuilt at the next run.
+        layout exactly). The grid's (Dx, Dy) is snapped down to a
+        mesh-commensurate product at creation (GridSpec.create
+        strip_devices); an incommensurate existing grid is rebuilt at
+        the next run.
         """
         self._spatial_mesh = mesh
         self._spatial_migrate_cap = migrate_cap
@@ -649,7 +658,8 @@ class Simulation:
             n = int(mesh.shape["d"])
             if (
                 self._grid_spec is not None
-                and self._grid_spec.dims[0] % n != 0
+                and (self._grid_spec.dims[0] * self._grid_spec.dims[1]) % n
+                != 0
             ):
                 # regrid with the slab-aligned Dx at the next attach;
                 # pull the current positions out of the dense arrays FIRST
@@ -824,9 +834,17 @@ class Simulation:
         integrating with the old scheme. Scalars are compared by value,
         nested objects (variants, filters, triggers) by identity —
         replace the object to change it.
+
+        Returns ``(fp, refs)``: ``refs`` strongly references every object
+        whose id() appears in ``fp``. The caller must keep ``refs`` alive
+        for as long as it compares against ``fp`` — otherwise a freed
+        object's address can be reused by a replacement and the stale
+        closure survives the very check built to catch it.
         """
+        refs = []
 
         def obj_fp(o):
+            refs.append(o)
             items = []
             for k, v in sorted(vars(o).items()):
                 if k.startswith("_") or k == "forces":
@@ -834,29 +852,34 @@ class Simulation:
                 if isinstance(v, (int, float, bool, str, type(None))):
                     items.append((k, v))
                 else:
+                    refs.append(v)
                     items.append((k, type(v).__name__, id(v)))
             return (type(o).__name__, id(o), tuple(items))
 
         integ = self.operations.integrator
         if integ is None:
-            return ("none",)
-        return (
+            return ("none",), ()
+        refs.extend(integ.forces)
+        refs.extend(self.operations.updaters)
+        fp = (
             self.seed,  # baked into the step closure's RNG streams
             obj_fp(integ),
             tuple(obj_fp(m) for m in integ.methods),
             tuple((type(f).__name__, id(f)) for f in integ.forces),
             tuple((type(u).__name__, id(u)) for u in self.operations.updaters),
         )
+        return fp, tuple(refs)
 
     def run(self, n_steps: int):
         from .write import _fire_writers, _writer_next_fire
 
         n_steps = int(n_steps)
-        fp = self._ops_fingerprint()
+        fp, fp_refs = self._ops_fingerprint()
         if getattr(self, "_ops_fp", None) != fp:
             # integrator/methods/forces/updaters changed since the last
             # bind: rebuild the runner against the new operation set
             self._ops_fp = fp
+            self._ops_fp_refs = fp_refs  # pin ids in fp against reuse
             self._invalidate()
         if not self._attached:
             self._attach()

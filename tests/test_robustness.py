@@ -171,3 +171,42 @@ def test_fuzz_invariants(name, params, rcut):
     s1 = sim.state.get_snapshot()
     p1 = (s1.particles.velocity * s1.particles.mass[:, None]).sum(axis=0)
     np.testing.assert_allclose(p1, p0, atol=5e-3)
+
+
+def test_force_removal_preserves_state(lattice_snapshot_factory):
+    """Regression: a mid-trajectory re-attach that drops the pair grid
+    (swap to a gridless force set) must sync the evolved dense state
+    first — positions must not roll back to the last host sync."""
+    def make():
+        snap = lattice_snapshot_factory(n=4, a=1.4)
+        sim = az.Simulation(seed=6)
+        sim.create_state_from_snapshot(snap)
+        pot = az.pair.Hertz(
+            nlist=az.md.nlist.Cell(buffer=0.4), default_r_cut=1.3
+        )
+        pot.params[("A", "A")] = dict(epsilon=2.0)
+        sim.operations.integrator = az.md.Integrator(
+            dt=0.002, methods=[az.md.methods.ConstantVolume()], forces=[pot]
+        )
+        sim.state.thermalize_particle_momenta(kT=1.0)
+        return sim
+
+    a = make()
+    a.run(25)  # dense state evolved, host copy stale
+    a.operations.integrator = az.md.Integrator(
+        dt=0.002, methods=[az.md.methods.ConstantVolume()], forces=[]
+    )
+    a.run(5)
+
+    b = make()
+    b.run(25)
+    b.state.get_snapshot()  # explicit host sync before the swap
+    b.operations.integrator = az.md.Integrator(
+        dt=0.002, methods=[az.md.methods.ConstantVolume()], forces=[]
+    )
+    b.run(5)
+
+    np.testing.assert_array_equal(
+        np.asarray(a.state.get_snapshot().particles.position),
+        np.asarray(b.state.get_snapshot().particles.position),
+    )

@@ -149,27 +149,30 @@ def test_simulation_spatial_decomposition_bitwise():
     np.testing.assert_array_equal(ref_pos, got_pos)
 
 
-def test_spatial_snaps_unaligned_dx(monkeypatch):
-    """A mesh that does not divide the natural Dx: the grid snaps down to
-    fewer, wider x cells (GridSpec.create dx_multiple) instead of
-    failing. The 3-slab trajectory matches a single-device run on the
-    SAME snapped grid bitwise (the reference sim is patched to use the
-    identical dx_multiple so both layouts agree)."""
+def test_spatial_snaps_unaligned_mesh(monkeypatch):
+    """A mesh that does not divide the natural Dx*Dy: the grid snaps
+    (Dx, Dy) down to a mesh-commensurate product (GridSpec.create
+    strip_devices) instead of failing. The 3-strip trajectory matches a
+    single-device run on the SAME snapped grid bitwise (the reference
+    sim is patched to use the identical strip_devices so both layouts
+    agree)."""
     orig = D.GridSpec.create.__func__
 
-    def snapped(cls, box, N, r_cut, buffer, safety=1.18, dx_multiple=1):
-        return orig(cls, box, N, r_cut, buffer, safety, 3)
+    def snapped(cls, box, N, r_cut, buffer, safety=1.18, dx_multiple=1,
+                strip_devices=1):
+        return orig(cls, box, N, r_cut, buffer, safety, 1, 3)
 
     monkeypatch.setattr(D.GridSpec, "create", classmethod(snapped))
     ref = _slab_sim(seed=33)
     ref.run(25)
-    assert ref._grid_spec.dims[0] == 6
+    dims = ref._grid_spec.dims
+    assert (dims[0] * dims[1]) % 3 == 0 and dims[0] * dims[1] < 32, dims
     ref_pos = np.asarray(ref.state.get_snapshot().particles.position)
 
     sim = _slab_sim(seed=33)
     sim.enable_spatial_decomposition(make_mesh(3))
     sim.run(25)
-    assert sim._grid_spec.dims[0] == 6
+    assert sim._grid_spec.dims == dims
     got_pos = np.asarray(sim.state.get_snapshot().particles.position)
     np.testing.assert_array_equal(ref_pos, got_pos)
 
@@ -317,3 +320,101 @@ def test_spatial_rebin_migrant_overflow_flag():
         shard_state(dense, mesh), meta, spec, N, mesh=mesh, migrate_cap=8
     )
     assert bool(got_meta.overflow)
+
+
+# -- sub-plane strips (round 3): more devices than x planes ------------------
+
+
+def _strip_system(N=500, seed=4):
+    """Cubic box sized for dims=(4, 4, 4) at r_list=1.8: 8 devices own
+    half an x plane (2 z-columns) each — sub-plane strips."""
+    rng = np.random.default_rng(seed)
+    L = [7.3, 7.3, 7.3]
+    snap = az.Snapshot(N=N)
+    snap.configuration.box = L + [0, 0, 0]
+    snap.particles.types = ["A"]
+    snap.particles.position[:] = (rng.random((N, 3)) - 0.5) * np.asarray(L)
+    state, _, _ = state_from_snapshot(snap)
+    spec = D.GridSpec.create(state.box, N, r_cut=1.5, buffer=0.3)
+    assert spec.dims == (4, 4, 4), spec.dims
+    dense, meta = D.densify(state, spec)
+    assert not bool(meta.overflow)
+    return dense, meta, spec, N
+
+
+@pytest.mark.parametrize("drift", [0.0, 1.0])
+def test_spatial_rebin_strips_bitwise(drift):
+    """Strips narrower than an x plane (8 devices on 4 planes) still
+    reproduce the global rebin bitwise; y/x wraps hop multiple blocks
+    around the device ring (the multi-hop ppermute path)."""
+    from azplugins_tpu.parallel.spatial import _hop_bound
+
+    dense, meta, spec, N = _strip_system()
+    assert _hop_bound(spec.dims, 8) > 1  # genuinely multi-hop
+    if drift:
+        rng = np.random.default_rng(9)
+        S = dense.position.shape[0]
+        dpos = jnp.asarray(rng.uniform(-drift, drift, (S, 3)), jnp.float32)
+        dpos = jnp.where((dense.tag >= 0)[:, None], dpos, 0.0)
+        dense = dense.replace(position=dense.position + dpos)
+
+    ref_dense, ref_meta = D.rebin(dense, meta, spec, N)
+    mesh = make_mesh(8)
+    got_dense, got_meta = spatial_rebin(
+        shard_state(dense, mesh), meta, spec, N, mesh=mesh
+    )
+    _assert_state_equal(ref_dense, got_dense)
+    np.testing.assert_array_equal(
+        np.asarray(ref_meta.slot_of), np.asarray(got_meta.slot_of)
+    )
+    assert bool(got_meta.overflow) == bool(ref_meta.overflow)
+    assert not bool(got_meta.overflow)
+
+
+def test_hop_bound_slabs_is_one():
+    """Whole-plane slabs keep the single-hop migration of round 2."""
+    from azplugins_tpu.parallel.spatial import _hop_bound
+
+    assert _hop_bound((8, 4, 4), 8) == 1
+    assert _hop_bound((8, 4, 4), 2) == 1
+    assert _hop_bound((8, 4, 4), 1) == 0
+
+
+def test_simulation_strips_more_devices_than_planes():
+    """End-to-end: a cubic box with only 4 x planes decomposed over 8
+    devices (impossible for slabs) reproduces the single-device
+    trajectory bitwise."""
+    def cube_sim(seed):
+        rng = np.random.default_rng(seed)
+        N = 500
+        L = [7.3, 7.3, 7.3]
+        snap = az.Snapshot(N=N)
+        snap.configuration.box = L + [0, 0, 0]
+        snap.particles.types = ["A"]
+        snap.particles.position[:] = (rng.random((N, 3)) - 0.5) * np.asarray(L)
+        sim = az.Simulation(seed=7)
+        sim.create_state_from_snapshot(snap)
+        lj = az.pair.Hertz(
+            nlist=az.md.nlist.Cell(buffer=0.3), default_r_cut=1.5
+        )
+        lj.params[("A", "A")] = dict(epsilon=5.0)
+        sim.operations.integrator = az.md.Integrator(
+            dt=0.002,
+            methods=[az.md.methods.Langevin(kT=0.8, default_gamma=1.0)],
+            forces=[lj],
+        )
+        sim.state.thermalize_particle_momenta(kT=0.8)
+        return sim
+
+    ref = cube_sim(seed=21)
+    ref.run(30)
+    assert ref._grid_spec.dims == (4, 4, 4)
+    ref_pos = np.asarray(ref.state.get_snapshot().particles.position)
+
+    sim = cube_sim(seed=21)
+    sim.enable_spatial_decomposition(make_mesh(8))
+    sim.run(30)
+    assert sim._grid_spec.dims == (4, 4, 4)
+    np.testing.assert_array_equal(
+        np.asarray(sim.state.get_snapshot().particles.position), ref_pos
+    )
