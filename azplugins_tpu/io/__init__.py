@@ -26,13 +26,14 @@ __all__ = [
     "save_checkpoint",
     "load_checkpoint",
     "export_gsd",
+    "read_gsd",
     "GSDReader",
     "GSDWriter",
 ]
 
 
 def __getattr__(name):  # lazy: keep gsd.py off the hot import path
-    if name in ("export_gsd", "GSDReader", "GSDWriter"):
+    if name in ("export_gsd", "read_gsd", "GSDReader", "GSDWriter"):
         from . import gsd as _gsd
 
         return getattr(_gsd, name)

@@ -37,7 +37,7 @@ import struct
 
 import numpy as np
 
-__all__ = ["GSDWriter", "GSDReader", "export_gsd"]
+__all__ = ["GSDWriter", "GSDReader", "export_gsd", "read_gsd"]
 
 _MAGIC = 0x65DF65DF65DF65DF
 _GSD_VERSION = (2 << 16) | 0  # 2.0
@@ -273,6 +273,102 @@ def _hoomd_frame_chunks(timestep: int, chunks: dict, complete: bool) -> dict:
     if bt:
         out["bonds/types"] = _encode_typenames(bt)
     return out
+
+
+def _decode_typenames(arr) -> list[str]:
+    """Inverse of _encode_typenames: int8 [K, width] rows -> names."""
+    out = []
+    for row in np.asarray(arr).astype(np.uint8):
+        out.append(bytes(row.tobytes()).split(b"\x00")[0].decode())
+    return out
+
+
+def _read_gsd_frame(gsd_path: str, frame: int = -1):
+    """Load one hoomd-schema GSD frame -> (Snapshot, timestep).
+
+    Dynamic frames fall back to frame 0 for chunks they omit (the
+    hoomd.write.GSD convention); chunks absent from both frames keep the
+    Snapshot's hoomd-schema defaults (mass/diameter 1, identity
+    orientation, ...).
+    """
+    from ..core.snapshot import Snapshot
+
+    with GSDReader(gsd_path) as r:
+        if r.schema != "hoomd":
+            raise OSError(f"GSD schema {r.schema!r} is not 'hoomd'")
+        nf = r.n_frames
+        if nf == 0:
+            raise OSError("GSD file has no frames")
+        if frame < 0:
+            frame += nf
+        if not 0 <= frame < nf:
+            raise IndexError(f"frame {frame} out of range (0..{nf - 1})")
+        names0 = set(r.chunks(0))
+        namesf = set(r.chunks(frame))
+
+        def chunk(name):
+            if name in namesf:
+                return r.read_chunk(frame, name)
+            if name in names0:
+                return r.read_chunk(0, name)
+            return None
+
+        n_arr = chunk("particles/N")
+        N = int(n_arr[0]) if n_arr is not None else 0
+        group = chunk("bonds/group")
+        bond_N = 0 if group is None else int(np.asarray(group).shape[0])
+        snap = Snapshot(N=N, bond_N=bond_N)
+        box = chunk("configuration/box")
+        if box is not None:
+            snap.configuration.box = [
+                float(v) for v in np.asarray(box, np.float64).reshape(-1)[:6]
+            ]
+        types = chunk("particles/types")
+        snap.particles.types = (
+            _decode_typenames(types) if types is not None else ["A"]
+        )
+        for field, name in (
+            ("position", "particles/position"),
+            ("velocity", "particles/velocity"),
+            ("image", "particles/image"),
+            ("typeid", "particles/typeid"),
+            ("mass", "particles/mass"),
+            ("charge", "particles/charge"),
+            ("diameter", "particles/diameter"),
+            ("orientation", "particles/orientation"),
+            ("angmom", "particles/angmom"),
+            ("moment_inertia", "particles/moment_inertia"),
+            ("body", "particles/body"),
+        ):
+            a = chunk(name)
+            if a is not None:
+                tgt = getattr(snap.particles, field)
+                tgt[:] = np.asarray(a).reshape(tgt.shape)
+        if bond_N:
+            snap.bonds.group[:] = np.asarray(group).reshape(bond_N, 2)
+            tid = chunk("bonds/typeid")
+            if tid is not None:
+                snap.bonds.typeid[:] = np.asarray(tid).reshape(bond_N)
+        bt = chunk("bonds/types")
+        if bt is not None:
+            snap.bonds.types = _decode_typenames(bt)
+        step = chunk("configuration/step")
+        return snap, (int(step[0]) if step is not None else 0)
+
+
+def read_gsd(gsd_path: str, frame: int = -1):
+    """Load a hoomd-schema GSD frame into a Snapshot.
+
+    The migration entry point for azplugins users bringing existing GSD
+    configurations: reads files written by HOOMD's gsd package or by
+    export_gsd (the reference ecosystem checkpoints through GSD —
+    SURVEY §5 checkpoint/resume). ``frame`` may be negative (from the
+    end); dynamic frames fall back to frame 0, the hoomd.write.GSD
+    convention. See also Simulation.create_state_from_gsd, which also
+    restores the timestep.
+    """
+    snap, _ = _read_gsd_frame(gsd_path, frame)
+    return snap
 
 
 def export_gsd(aztraj_path: str, gsd_path: str) -> int:

@@ -188,6 +188,22 @@ class Simulation:
             raise RuntimeError("state already created")
         self._set_snapshot(snapshot)
 
+    def create_state_from_gsd(self, filename: str, frame: int = -1):
+        """Initialize from a hoomd-schema GSD file and restore its step.
+
+        HOOMD-parity loader (hoomd.Simulation.create_state_from_gsd):
+        reads files written by HOOMD's gsd package or by
+        az.io.export_gsd, including dynamic frames (fall back to frame 0
+        for omitted chunks). The timestep restores from
+        configuration/step, so triggers and RNG streams resume on the
+        absolute schedule.
+        """
+        from .io.gsd import _read_gsd_frame
+
+        snap, step = _read_gsd_frame(filename, frame)
+        self.create_state_from_snapshot(snap)
+        self.timestep = step
+
     def _set_snapshot(self, snapshot: Snapshot):
         self._state, self._particle_types, self._bond_types = state_from_snapshot(snapshot)
         # MPCD solvent stream: stored for the computes

@@ -279,3 +279,100 @@ def test_gsd_export_roundtrip(tmp_path):
         box = r.read_chunk(0, "configuration/box")
         np.testing.assert_allclose(box[:3], [6.0, 6.0, 6.0], rtol=1e-6)
     assert final.particles.N == 125
+
+
+def test_gsd_read_and_create_state(tmp_path):
+    """read_gsd loads hoomd-schema GSD frames back into Snapshots with
+    dynamic-frame fallback to frame 0, and create_state_from_gsd
+    restores state + timestep well enough to continue the run."""
+    from azplugins_tpu.io import export_gsd, read_gsd
+
+    azt = str(tmp_path / "traj.azt")
+    sim = _small_sim()
+    traj = az.write.Trajectory(trigger=az.trigger.Periodic(10), filename=azt)
+    sim.operations.writers.append(traj)
+    sim.run(35)
+    traj.close()
+    gsd_path = str(tmp_path / "traj.gsd")
+    export_gsd(azt, gsd_path)
+
+    with TrajectoryReader(azt) as r:
+        ts_last, last = r.read_frame(2)
+        _, mid = r.read_frame(1)
+
+    # final frame: dynamic chunks from frame 2, statics fall back to 0
+    got = read_gsd(gsd_path)  # frame=-1
+    assert got.particles.N == 125
+    np.testing.assert_array_equal(
+        got.particles.position.astype(np.float32),
+        last["particles/position"],
+    )
+    assert got.particles.types == ["A"]
+    np.testing.assert_array_equal(got.particles.typeid, 0)
+    np.testing.assert_array_equal(got.particles.mass, 1.0)
+    assert list(got.configuration.box) == [6.0, 6.0, 6.0, 0.0, 0.0, 0.0]
+
+    # explicit dynamic frame
+    got1 = read_gsd(gsd_path, frame=1)
+    np.testing.assert_array_equal(
+        got1.particles.position.astype(np.float32),
+        mid["particles/position"],
+    )
+
+    # out-of-range frame
+    with pytest.raises(IndexError):
+        read_gsd(gsd_path, frame=3)
+
+    # sim boot from the GSD: timestep restores, dynamics continue
+    sim2 = az.Simulation(seed=11)
+    sim2.create_state_from_gsd(gsd_path)
+    assert sim2.timestep == ts_last == 30
+    np.testing.assert_array_equal(
+        np.asarray(sim2.state.get_snapshot().particles.position, np.float32),
+        last["particles/position"],
+    )
+    lj = az.pair.PerturbedLennardJones(
+        nlist=az.md.nlist.Cell(buffer=0.4), default_r_cut=2.0
+    )
+    lj.params[("A", "A")] = dict(
+        epsilon=1.0, sigma=1.0, attraction_scale_factor=0.5
+    )
+    sim2.operations.integrator = az.md.Integrator(
+        dt=0.005,
+        methods=[az.md.methods.Langevin(kT=1.0, default_gamma=0.5)],
+        forces=[lj],
+    )
+    sim2.run(5)
+    assert sim2.timestep == 35
+
+
+def test_gsd_read_bonds(tmp_path):
+    """Bond tables and bond type names survive the GSD round trip."""
+    from azplugins_tpu.io import read_gsd, snapshot_to_chunks
+    from azplugins_tpu.io.gsd import GSDWriter, _hoomd_frame_chunks
+
+    snap = az.Snapshot(N=4, bond_N=3)
+    snap.configuration.box = [8, 8, 8, 0, 0, 0]
+    snap.particles.types = ["A", "B"]
+    snap.particles.typeid[:] = [0, 1, 0, 1]
+    snap.particles.position[:] = [[0, 0, 0], [1, 0, 0], [2, 0, 0], [3, 0, 0]]
+    snap.particles.mass[:] = [1.0, 2.0, 1.0, 2.0]
+    snap.bonds.types = ["b-strong", "b-weak"]
+    snap.bonds.group[:] = [[0, 1], [1, 2], [2, 3]]
+    snap.bonds.typeid[:] = [0, 1, 0]
+
+    path = str(tmp_path / "bonds.gsd")
+    with GSDWriter(path) as w:
+        for name, data in _hoomd_frame_chunks(
+            0, snapshot_to_chunks(snap), True
+        ).items():
+            w.write_chunk(name, data)
+        w.end_frame()
+
+    got = read_gsd(path)
+    assert got.bonds.N == 3
+    assert got.bonds.types == ["b-strong", "b-weak"]
+    np.testing.assert_array_equal(got.bonds.group, snap.bonds.group)
+    np.testing.assert_array_equal(got.bonds.typeid, snap.bonds.typeid)
+    np.testing.assert_array_equal(got.particles.mass, snap.particles.mass)
+    assert got.particles.types == ["A", "B"]
