@@ -1486,17 +1486,25 @@ def _pallas_half_dpd_force(
         rdotv = dx * (vxi - vxj) + dy * (vyi - vyj) + dz * (vzi - vzj)
         w_R = jnp.maximum(1.0 - r * rcutinv, 0.0) ** (0.5 * s_exp) * rinv
         f_drag = -gamma * w_R * w_R * rdotv
-        ta = tgi.astype(jnp.int32).astype(jnp.uint32)
-        tb = tgj.astype(jnp.int32).astype(jnp.uint32)
-        lo = jnp.minimum(ta, tb)
-        hi = jnp.maximum(ta, tb)
+        # sort the tag pair in f32: tags arrive as f32 planes (exact for
+        # N < 2^24) and Mosaic cannot legalize vector arith.minui, so the
+        # uint32 min/max form fails to compile on TPU
+        lo = jnp.minimum(tgi, tgj).astype(jnp.int32).astype(jnp.uint32)
+        hi = jnp.maximum(tgi, tgj).astype(jnp.int32).astype(jnp.uint32)
         # svals arrive as Python floats (folded constants) or f32 SMEM
-        # scalars (traced timestep); coerce either to exact uint32
-        k0u = jnp.asarray(k0f, jnp.float32).astype(jnp.uint32)
-        k1u = (
-            jnp.asarray(hi16, jnp.float32).astype(jnp.uint32)
-            << jnp.uint32(16)
-        ) | jnp.asarray(lo16, jnp.float32).astype(jnp.uint32)
+        # scalars (traced timestep); coerce either to exact uint32.
+        # Route through int32: Mosaic cannot lower f32 -> uint32, and all
+        # three words are < 2^24 so the f32 -> int32 leg is exact (the
+        # int32 -> uint32 leg is a bitcast).
+        def _u32(v):
+            return (
+                jnp.asarray(v, jnp.float32)
+                .astype(jnp.int32)
+                .astype(jnp.uint32)
+            )
+
+        k0u = _u32(k0f)
+        k1u = (_u32(hi16) << jnp.uint32(16)) | _u32(lo16)
         x0, _ = _rng.threefry2x32(k0u, k1u, lo, hi)
         alpha = _rng.uniform_from_bits(x0)
         f = jnp.where(inside, f_cons + f_drag + sig * w_R * alpha, 0.0)

@@ -904,6 +904,11 @@ class Simulation:
         writers = list(self.operations.writers)
         for w in writers:
             w._attach(self)
+        # computes are pull-path observables (no step-loop state), so a
+        # compute appended after the first run() attaches here instead of
+        # forcing a fingerprint rebuild
+        for c in self.operations.computes:
+            c._attach(self)
         remaining = n_steps
         tbls = self._force_tables()
         while remaining > 0:

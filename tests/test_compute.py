@@ -265,3 +265,19 @@ def test_dof_accounting(simulation_factory, two_particle_snapshot_factory):
     thermo2._attach(sim2)
     sim2.run(0)
     assert thermo2.translational_degrees_of_freedom == 6.0
+
+
+def test_compute_appended_after_run_attaches(
+    two_particle_snapshot_factory, simulation_factory
+):
+    """A compute appended AFTER the first run() attaches on the next run
+    (reference: HOOMD attaches pending operations at each run entry)."""
+    sim = simulation_factory(two_particle_snapshot_factory())
+    sim.operations.integrator = az.md.Integrator(
+        dt=0.0, methods=[az.md.methods.ConstantVolume()]
+    )
+    sim.run(1)
+    thermo = az.compute.ThermodynamicQuantities()
+    sim.operations.computes.append(thermo)
+    sim.run(1)
+    assert thermo.kinetic_temperature >= 0.0
