@@ -79,8 +79,10 @@ class GSDWriter:
 
     def __init__(self, path: str, application: str = "azplugins_tpu",
                  schema: str = "hoomd",
-                 schema_version: int = _HOOMD_SCHEMA_VERSION):
-        self._f = open(path, "w+b")
+                 schema_version: int = _HOOMD_SCHEMA_VERSION,
+                 mode: str = "w"):
+        if mode not in ("w", "a"):
+            raise ValueError("mode must be 'w' or 'a'")
         self._application = application
         self._schema = schema
         self._schema_version = schema_version
@@ -89,7 +91,60 @@ class GSDWriter:
         self._index: list[tuple] = []  # (frame, N, loc, M, id, type)
         self._frame = 0
         self._closed = False
+        import os as _os
+
+        if mode == "a" and _os.path.exists(path) and _os.path.getsize(path):
+            self._open_append(path)
+            return
+        self._f = open(path, "w+b")
         self._f.write(b"\x00" * _HEADER.size)  # header written at close
+
+    def _open_append(self, path: str) -> None:
+        """Resume appending to a file THIS writer produced.
+
+        Our close() lays the namelist then the index at the tail; appends
+        truncate that tail and continue writing data chunks. Files from
+        other GSD implementations (which preallocate index/namelist
+        blocks mid-file) are refused rather than risked."""
+        with open(path, "rb") as f:
+            hdr = f.read(_HEADER.size)
+            (magic, index_loc, n_idx, name_loc, _n_seg, sv, _gv, app, sch,
+             _r) = _HEADER.unpack(hdr)
+            if magic != _MAGIC:
+                raise OSError(f"{path} is not a GSD file")
+            size = f.seek(0, 2)
+            tail = index_loc + n_idx * _INDEX_ENTRY.size
+            data_end = name_loc if name_loc else index_loc
+            if not (
+                _HEADER.size <= data_end <= index_loc and size == tail
+            ):
+                raise OSError(
+                    "cannot append: GSD index/namelist are not at the file "
+                    "tail (file written by another GSD implementation); "
+                    "rewrite with mode='w'"
+                )
+            f.seek(name_loc)
+            for raw in f.read(index_loc - name_loc).split(b"\x00"):
+                if raw:
+                    self._name_ids[raw.decode()] = len(self._names)
+                    self._names.append(raw.decode())
+            f.seek(index_loc)
+            for _ in range(n_idx):
+                frame, N, loc, M, nid, tc, _fl = _INDEX_ENTRY.unpack(
+                    f.read(_INDEX_ENTRY.size)
+                )
+                self._index.append((frame, N, loc, M, nid, tc))
+        self._schema_version = sv
+        self._application = app.split(b"\x00")[0].decode()
+        self._schema = sch.split(b"\x00")[0].decode()
+        self._frame = 1 + max((e[0] for e in self._index), default=-1)
+        self._f = open(path, "r+b")
+        self._f.seek(data_end)
+        self._f.truncate()
+
+    @property
+    def nframes(self) -> int:
+        return self._frame
 
     def _name_id(self, name: str) -> int:
         nid = self._name_ids.get(name)

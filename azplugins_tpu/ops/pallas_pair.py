@@ -325,6 +325,18 @@ def stencil_pair_force_kernel(
     except Exception:
         svals_const = None
 
+    if os.environ.get("AZTPU_ABLATE_EVAL") == "1":
+        # roofline ablation (scripts/ablate_kernel.py): replace the
+        # potential math with a near-trivial evaluator (one cutoff
+        # compare + the raw separations), keeping the geometry, Newton
+        # accumulation, and skipping structure intact — isolates the
+        # kernel's structural instruction floor from the evaluator cost
+        def eval_f(dx, dy, dz, rsq, ei, ej, sv, _n=n_acc):  # noqa: ARG001
+            w = jnp.where(rsq < jnp.float32(9.0), jnp.float32(1.0), 0.0)
+            t = [dx * w, dy * w, dz * w]
+            t += [rsq * w] * (_n - 3)
+            return t[:_n], [-a for a in t[:_n]]
+
     cap, C = xi_t.shape
     J = jx_t.shape[0]
     n_seg = J // cap_pad
@@ -359,6 +371,11 @@ def stencil_pair_force_kernel(
         sc_cnt = jnp.pad(sc_cnt, ((0, 0), (0, Cp - C)))
     ib = cnt.reshape(n_blocks, CB).max(axis=1).reshape(n_blocks, 1)
     jb = sc_cnt.reshape(n_seg, n_blocks, CB).max(axis=2).T  # [n_blocks, n_seg]
+    if os.environ.get("AZTPU_ABLATE_BOUNDS") == "1":
+        # roofline ablation: disable occupancy skipping (every i-row and
+        # j-subtile evaluated) — measures what the per-block bounds buy
+        ib = jnp.full_like(ib, cap)
+        jb = jnp.full_like(jb, cap_pad)
 
     Jseg = _choose_jseg(J, cap_pad, CB, n_acc=n_acc, n_extra=n_ei + n_ej)
     n_jseg = J // Jseg

@@ -19,7 +19,7 @@ import sys
 from .io import TrajectoryWriter, snapshot_to_chunks
 from .md.trigger import Periodic, Trigger, as_trigger
 
-__all__ = ["Logger", "Table", "Trajectory", "Writer"]
+__all__ = ["GSD", "Logger", "Table", "Trajectory", "Writer"]
 
 
 def _next_fire(trigger: Trigger, t: int) -> int | None:
@@ -178,6 +178,46 @@ def _fire_writers(sim, writers, timestep: int):
             w.write(sim, timestep)
 
 
-# hoomd namespace parity: azplugins_tpu.write.GSD does not exist by design —
-# the native container is aztraj (see DEVIATIONS.md). Alias the closest
-# concept so ports read naturally.
+class GSD(Writer):
+    """Append hoomd-schema GSD frames (hoomd.write.GSD parity).
+
+    The native container is aztraj (faster appends, CRC'd checkpoint
+    grade — see DEVIATIONS.md §10); this writer targets the reference
+    ecosystem directly (reference users write trajectories via
+    hoomd.write.GSD and analyze them with gsd/ovito/freud), so no
+    conversion step is needed. Frame 0 is complete; later frames carry
+    only the dynamic payload unless ``dynamic_only=False`` (readers fall
+    back to frame 0 for omitted chunks, the hoomd convention).
+    """
+
+    def __init__(self, trigger, filename: str, mode: str = "w",
+                 dynamic_only: bool = True):
+        super().__init__(trigger)
+        from .io.gsd import GSDWriter
+
+        self.filename = str(filename)
+        self._writer = GSDWriter(self.filename, mode=mode)
+        self._dynamic_only = bool(dynamic_only)
+        self._wrote_complete = mode == "a" and self._writer.nframes > 0
+
+    def write(self, sim, timestep: int):
+        from .io.gsd import _hoomd_frame_chunks
+
+        snap = sim.state.get_snapshot()
+        complete = not (self._dynamic_only and self._wrote_complete)
+        chunks = snapshot_to_chunks(snap, dynamic_only=not complete)
+        for name, data in _hoomd_frame_chunks(
+            int(timestep), chunks, complete
+        ).items():
+            self._writer.write_chunk(name, data)
+        self._writer.end_frame()
+        self._wrote_complete = True
+
+    def close(self):
+        self._writer.close()
+
+    def __del__(self):  # best-effort
+        try:
+            self.close()
+        except Exception:
+            pass

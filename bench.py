@@ -215,26 +215,28 @@ def build_polymer_melt(n_chains=1280, chain_len=25, rho=0.5, seed=14):
 
     N = n_chains * chain_len
     L = (N / rho) ** (1 / 3)
-    rng = np.random.default_rng(seed)
     snap = az.Snapshot(N=N, bond_N=n_chains * (chain_len - 1))
     snap.configuration.box = [L, L, L, 0, 0, 0]
     snap.particles.types = ["A"]
     snap.bonds.types = ["backbone"]
-    starts = rng.uniform(-L / 2, L / 2, (n_chains, 3))
+    # straight rods along x on a (y, z) grid: no inter-chain contact ever
+    # gets near the ExpandedYukawa delta (random-walk starts overlapped
+    # chains into the r < delta divergence -> immediate blow-up on chip);
+    # Langevin at kT=1 melts the rods during warmup, same as the LJ lattice
+    gy = int(np.floor(np.sqrt(n_chains)))
+    gz = (n_chains + gy - 1) // gy
     b = 0
     for c in range(n_chains):
-        pos = starts[c]
-        d = rng.normal(size=3)
+        y = ((c % gy) + 0.5) * L / gy - L / 2
+        z = ((c // gy) + 0.5) * L / gz - L / 2
+        x0 = -0.97 * (chain_len - 1) / 2
         for m in range(chain_len):
             i = c * chain_len + m
-            snap.particles.position[i] = (pos + L / 2) % L - L / 2
+            snap.particles.position[i] = [x0 + 0.97 * m, y, z]
             if m < chain_len - 1:
                 snap.bonds.typeid[b] = 0
                 snap.bonds.group[b] = [i, i + 1]
                 b += 1
-            d = d + 0.3 * rng.normal(size=3)
-            d /= np.linalg.norm(d)
-            pos = pos + 0.97 * d
     sim = az.Simulation(seed=seed)
     sim.create_state_from_snapshot(snap)
     bonds = az.bond.Quartic()

@@ -376,3 +376,48 @@ def test_gsd_read_bonds(tmp_path):
     np.testing.assert_array_equal(got.bonds.typeid, snap.bonds.typeid)
     np.testing.assert_array_equal(got.particles.mass, snap.particles.mass)
     assert got.particles.types == ["A", "B"]
+
+
+def test_gsd_writer_direct_and_append(tmp_path):
+    """write.GSD appends hoomd-schema frames straight from the run loop
+    (no aztraj intermediary), and mode="a" resumes an existing file this
+    writer produced (reference users' hoomd.write.GSD workflow)."""
+    from azplugins_tpu.io import read_gsd
+    from azplugins_tpu.io.gsd import GSDReader
+
+    path = str(tmp_path / "direct.gsd")
+    sim = _small_sim()
+    w = az.write.GSD(trigger=az.trigger.Periodic(10), filename=path)
+    sim.operations.writers.append(w)
+    sim.run(25)
+    w.close()
+
+    with GSDReader(path) as r:
+        assert r.n_frames == 2
+        assert set(r.chunks(0)) >= {"particles/typeid", "particles/types"}
+        assert "particles/typeid" not in set(r.chunks(1))  # dynamic
+        assert int(r.read_chunk(1, "configuration/step")[0]) == 20
+
+    # append-resume: a second writer continues the same file
+    sim.operations.writers.remove(w)
+    w2 = az.write.GSD(trigger=az.trigger.Periodic(10), filename=path, mode="a")
+    sim.operations.writers.append(w2)
+    sim.run(20)
+    w2.close()
+
+    with GSDReader(path) as r:
+        assert r.n_frames == 4
+        steps = [int(r.read_chunk(k, "configuration/step")[0]) for k in range(4)]
+        assert steps == [10, 20, 30, 40]
+        # appended frames stay dynamic-only: statics resolve via frame 0
+        assert "particles/typeid" not in set(r.chunks(2))
+    # dynamic fallback assembles a complete snapshot from the last frame's
+    # dynamics (step 40) + frame 0's statics
+    snap = read_gsd(path)
+    assert snap.particles.N == 125
+    assert snap.particles.types == ["A"]
+    with GSDReader(path) as r:
+        np.testing.assert_array_equal(
+            np.asarray(snap.particles.position, np.float32),
+            r.read_chunk(3, "particles/position"),
+        )
