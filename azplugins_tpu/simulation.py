@@ -165,6 +165,13 @@ class Simulation:
         self._seg_len = 10
         self._seg_ceiling = 50
         self._clean_quanta = 0
+        # set by a violation replay: the restored snapshot's rebuild
+        # reference belongs to the pre-halving schedule, so the unaligned
+        # prefix up to the next halved-schedule point must run with
+        # per-step rebuilds (always valid) — a no-rebin continuation
+        # would re-violate against the stale reference and cascade the
+        # interval all the way to 1 (observed on the droplet bench)
+        self._realign = False
         # False pins the rebuild interval (violation halving still applies;
         # quantum regrowth and chunk-splitting stop) — benchmarking hook
         self._seg_adapt = True
@@ -384,6 +391,23 @@ class Simulation:
         methods = integ.methods if integ is not None else []
         forces = self._forces()
         updaters = list(self.operations.updaters)
+        # updaters whose _update is a pure device fn of (state, t, seed)
+        # and whose trigger is a built-in (pure traced-bool) schedule ride
+        # INSIDE the jitted step loop; the rest fire at host chunk
+        # boundaries (run() splits chunks at their firings — each split is
+        # a device dispatch + blocking scalar sync, ruinous through the
+        # TPU relay for short periods)
+        from .md.trigger import After, Before, On, Periodic
+
+        inline_updaters = []
+        for u in updaters:
+            u._inlined = bool(
+                getattr(u, "_inline_ok", False)
+                and type(u.trigger) in (Periodic, After, Before, On)
+                and not getattr(u, "_updates_mpcd", False)
+            )
+            if u._inlined:
+                inline_updaters.append(u)
         spec = self._grid_spec
         dt = integ.dt if integ is not None else 0.0
         seed = self.seed
@@ -456,6 +480,22 @@ class Simulation:
                 return dense.replace(net_force=net, net_torque=ntq)
             return dense.replace(net_force=net)
 
+        def apply_inline_updaters(d, t):
+            # masked selects, not lax.cond: the compiled graph stays
+            # conditional-free (see the rebin rationale below), and only
+            # leaves the updater actually replaced pay a where — _update
+            # returns state.replace(...), so untouched leaves keep object
+            # identity
+            for u in inline_updaters:
+                fire = u.trigger(t)
+                upd = u._update(d, t, seed)
+                d = jax.tree_util.tree_map(
+                    lambda new, old: old if new is old
+                    else jnp.where(fire, new, old),
+                    upd, d,
+                )
+            return d
+
         def one_step(dense, meta, t, tbls):
             """One MD step with NO neighbor rebuild (runs inside a segment)."""
             for m in methods:
@@ -465,6 +505,7 @@ class Simulation:
             dense = _set_net(dense, net, ntq)
             for m in methods:
                 dense = m.step2(dense, dt, t, seed)
+            dense = apply_inline_updaters(dense, t)
             return dense, meta
 
         # The chunk is segmented: every segment REBINS UNCONDITIONALLY and
@@ -539,6 +580,8 @@ class Simulation:
                 with jax.named_scope("integrate_step2"):
                     for m in methods:
                         d = m.step2(d, dt, t, seed)
+                with jax.named_scope("updaters"):
+                    d = apply_inline_updaters(d, t)
                 return d, mt, start, viol
 
             if not rebin_first:
@@ -797,6 +840,8 @@ class Simulation:
 
         pts = []
         for u in self.operations.updaters:
+            if getattr(u, "_inlined", False):
+                continue  # applied inside the jitted step loop
             p = _next_fire(u.trigger, t)
             if p is None:
                 # custom trigger callables are probed over a bounded window
@@ -823,6 +868,8 @@ class Simulation:
         from .write import _next_fire
 
         for i, u in enumerate(self.operations.updaters):
+            if getattr(u, "_inlined", False):
+                continue  # applied inside the jitted step loop
             if _next_fire(u.trigger, t) != t:
                 continue
             if getattr(u, "_updates_mpcd", False):
@@ -960,11 +1007,19 @@ class Simulation:
             rebin_first = off == 0
             if off:
                 chunk = min(chunk, self._seg_len - off)
+            seg_arg = self._seg_len
+            if off and self._realign:
+                # post-violation realignment prefix: rebuild every step
+                # until the timestep reaches the halved schedule
+                seg_arg = 1
+                rebin_first = True
+            elif not off:
+                self._realign = False
             backup_dense, backup_meta = self._dense, self._meta
             t0 = jnp.int32(self._timestep)
             dense, meta, violated = self._run_chunk(
                 backup_dense, backup_meta, t0, jnp.int32(chunk),
-                jnp.int32(self._seg_len), tbls, rebin_first
+                jnp.int32(seg_arg), tbls, rebin_first
             )
             if self._grid_spec is not None and bool(meta.overflow):
                 # transactional replay with grown capacity
@@ -975,7 +1030,7 @@ class Simulation:
                 tbls = self._force_tables()
                 continue
             if bool(violated):
-                if self._seg_len > 1:
+                if seg_arg > 1:
                     # a particle out-drifted the Verlet margin inside a
                     # segment: halve the rebuild interval and replay
                     # (seg_len == 1 rebuilds every step and is always valid).
@@ -985,6 +1040,7 @@ class Simulation:
                     self._clean_quanta = 0
                     self._dense, self._meta = backup_dense, backup_meta
                     self._seg_len = max(self._seg_len // 2, 1)
+                    self._realign = True
                     continue
                 # seg_len == 1: a particle crossed more than the full
                 # buffer in ONE step; forces this chunk may have used a

@@ -33,6 +33,12 @@ __all__ = ["Updater", "TypeUpdater", "ParticleEvaporator"]
 
 
 class Updater:
+    # True when _update is a pure device function of (state, timestep,
+    # seed): the runner then applies it INSIDE the jitted step loop as a
+    # masked select on its trigger schedule, so the run() chunk does not
+    # split (and pay a host dispatch round-trip) at every firing
+    _inline_ok = False
+
     def __init__(self, trigger):
         self.trigger = as_trigger(trigger)
         self._attached = False
@@ -45,6 +51,8 @@ class Updater:
 
 
 class TypeUpdater(Updater):
+    _inline_ok = True
+
     def __init__(self, trigger, inside_type: str, outside_type: str, lo: float, hi: float):
         super().__init__(trigger)
         self.inside_type = inside_type
@@ -83,6 +91,8 @@ class TypeUpdater(Updater):
 
 class ParticleEvaporator(Updater):
     """Evaporate (retype) solvent particles out of a z-slab region."""
+
+    _inline_ok = True
 
     def __init__(
         self,
