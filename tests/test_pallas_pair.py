@@ -122,7 +122,10 @@ def test_pallas_two_types_bilinear(monkeypatch, want):
     """T=2: per-pair parameters via exact bilinear interpolation match the
     XLA one-hot path, including asymmetric tables and a disabled pair."""
     rng = np.random.default_rng(7)
-    N, L = 400, 12.0
+    # small box: interpret-mode Pallas walks the grid in Python, so wall
+    # clock scales with cell count; production shapes are burst-checked
+    # on the chip (scripts/tpu_burst_check.py)
+    N, L = 260, 9.6
     snap = az.Snapshot(N=N)
     snap.configuration.box = [L, L, L, 0, 0, 0]
     snap.particles.types = ["A", "B"]

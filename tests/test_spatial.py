@@ -24,6 +24,23 @@ from azplugins_tpu.parallel import make_mesh, shard_state
 from azplugins_tpu.parallel.spatial import spatial_rebin
 
 
+def _rebin_jit(dense, meta, spec, N, mesh=None, migrate_cap=None):
+    """Run a rebin under jit: the production path always jits, and the
+    eager 8-device dispatch is ~80x slower on the CPU mesh (pure test
+    wall-clock, no extra coverage)."""
+    if mesh is None:
+        fn = jax.jit(lambda d, m: D.rebin(d, m, spec, N))
+    else:
+        fn = jax.jit(
+            lambda d, m: spatial_rebin(
+                d, m, spec, N, mesh=mesh, migrate_cap=migrate_cap
+            )
+        )
+    out_dense, out_meta = fn(dense, meta)
+    jax.block_until_ready(out_dense.position)
+    return out_dense, out_meta
+
+
 def _grid_system(N=700, seed=4):
     """Box sized for dims=(8, 4, 4) at r_list=1.8 so 8 devices get 1 plane each."""
     rng = np.random.default_rng(seed)
@@ -62,13 +79,11 @@ def test_spatial_rebin_bitwise_matches_global(drift):
         dpos = jnp.where((dense.tag >= 0)[:, None], dpos, 0.0)
         dense = dense.replace(position=dense.position + dpos)
 
-    ref_dense, ref_meta = D.rebin(dense, meta, spec, N)
+    ref_dense, ref_meta = _rebin_jit(dense, meta, spec, N)
 
     mesh = make_mesh(8)
     dense_sh = shard_state(dense, mesh)
-    got_dense, got_meta = spatial_rebin(
-        dense_sh, meta, spec, N, mesh=mesh
-    )
+    got_dense, got_meta = _rebin_jit(dense_sh, meta, spec, N, mesh=mesh)
     _assert_state_equal(ref_dense, got_dense)
     np.testing.assert_array_equal(
         np.asarray(ref_meta.slot_of), np.asarray(got_meta.slot_of)
@@ -99,7 +114,7 @@ def test_spatial_rebin_flags_fast_particle():
     jump = jnp.zeros_like(dense.position).at[slot, 0].set(2 * 14.5 / 8 + 0.2)
     dense = dense.replace(position=dense.position + jump)
     mesh = make_mesh(8)
-    _, got_meta = spatial_rebin(shard_state(dense, mesh), meta, spec, N, mesh=mesh)
+    _, got_meta = _rebin_jit(shard_state(dense, mesh), meta, spec, N, mesh=mesh)
     assert bool(got_meta.overflow)
 
 
@@ -297,9 +312,9 @@ def test_spatial_rebin_degenerate_meshes(n_dev):
     dpos = jnp.where((dense.tag >= 0)[:, None], dpos, 0.0)
     dense = dense.replace(position=dense.position + dpos)
 
-    ref_dense, ref_meta = D.rebin(dense, meta, spec, N)
+    ref_dense, ref_meta = _rebin_jit(dense, meta, spec, N)
     mesh = make_mesh(n_dev)
-    got_dense, got_meta = spatial_rebin(
+    got_dense, got_meta = _rebin_jit(
         shard_state(dense, mesh), meta, spec, N, mesh=mesh
     )
     _assert_state_equal(ref_dense, got_dense)
@@ -316,7 +331,7 @@ def test_spatial_rebin_migrant_overflow_flag():
     dpos = jnp.where((dense.tag >= 0)[:, None], dpos, 0.0)
     dense = dense.replace(position=dense.position + dpos)
     mesh = make_mesh(8)
-    _, got_meta = spatial_rebin(
+    _, got_meta = _rebin_jit(
         shard_state(dense, mesh), meta, spec, N, mesh=mesh, migrate_cap=8
     )
     assert bool(got_meta.overflow)
@@ -358,9 +373,9 @@ def test_spatial_rebin_strips_bitwise(drift):
         dpos = jnp.where((dense.tag >= 0)[:, None], dpos, 0.0)
         dense = dense.replace(position=dense.position + dpos)
 
-    ref_dense, ref_meta = D.rebin(dense, meta, spec, N)
+    ref_dense, ref_meta = _rebin_jit(dense, meta, spec, N)
     mesh = make_mesh(8)
-    got_dense, got_meta = spatial_rebin(
+    got_dense, got_meta = _rebin_jit(
         shard_state(dense, mesh), meta, spec, N, mesh=mesh
     )
     _assert_state_equal(ref_dense, got_dense)
