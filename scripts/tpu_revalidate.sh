@@ -49,7 +49,11 @@ BENCH_CONFIGS=0 BENCH_SPATIAL=1 run bench_spatial \
 AZTPU_INCREMENTAL_REBIN=1 BENCH_CONFIGS=0 run bench_incr \
     timeout 3000 python -u bench.py || true
 
-# 5. kernel schedule sweep (H x CB) — only worth reading if bench ran
+# 5. opt-in SRD solvent throughput (262k solvent, collision every step)
+BENCH_MPCD=1 BENCH_CONFIGS=0 BENCH_STEPS=100 run bench_mpcd \
+    timeout 3000 python -u bench.py || true
+
+# 6. kernel schedule sweep (H x CB) — only worth reading if bench ran
 run sweep timeout 3000 python -u scripts/sweep_kernel.py || true
 
 echo "done; logs in $OUT" | tee -a "$OUT/summary.txt"
