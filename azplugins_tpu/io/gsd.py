@@ -15,7 +15,10 @@ The GSD container is implemented natively from the published file layout
     schema name fields.
   * data chunks appended anywhere in the file;
   * index: array of 32-byte entries (frame, N rows, file location,
-    M columns, name id, type enum, flags), sorted by frame;
+    M columns, name id, type enum, flags), sorted by frame; the header
+    records the ALLOCATED slab size and unused slots are zero — frames
+    commit in place and a full slab relocates doubled to the file tail
+    (crash-safe appends; see GSDWriter);
   * v2 namelist: tightly packed null-terminated UTF-8 names, zero-padded
     to a multiple of the 64-byte name segment size.
 
@@ -75,7 +78,23 @@ def _as_gsd_array(arr) -> np.ndarray:
 
 
 class GSDWriter:
-    """Append frames of named (<= 2-D) arrays to a GSD 2.0 file."""
+    """Append frames of named (<= 2-D) arrays to a GSD 2.0 file.
+
+    Crash-safe by the same discipline as the reference GSD C library:
+    the header always points at a fully-written namelist and index, and
+    committed bytes are never overwritten or truncated. Index entries
+    live in a preallocated slab (unused slots are zero, which readers —
+    including ours — skip per the spec); each ``end_frame`` commits the
+    new entries into free slots in place and flushes. When a slab fills,
+    a doubled slab is written at the end of the file and the header is
+    repointed only after it is flushed — the old slab becomes a dead
+    region (geometric growth bounds the waste at ~2x the final index
+    size). A kill at ANY point leaves every previously committed frame
+    readable; at worst the frame being committed is lost.
+    """
+
+    _INIT_INDEX_CAP = 128  # preallocated index entries (32 B each)
+    _INIT_NAME_SEGS = 16  # preallocated namelist segments (64 B each)
 
     def __init__(self, path: str, application: str = "azplugins_tpu",
                  schema: str = "hoomd",
@@ -91,56 +110,83 @@ class GSDWriter:
         self._index: list[tuple] = []  # (frame, N, loc, M, id, type)
         self._frame = 0
         self._closed = False
+        self._n_committed = 0  # index entries already on disk
+        self._names_committed = 0  # packed namelist bytes already on disk
         import os as _os
 
         if mode == "a" and _os.path.exists(path) and _os.path.getsize(path):
             self._open_append(path)
             return
+        # fresh file: header + empty namelist slab + empty index slab,
+        # all flushed before the first data byte — the file is a valid
+        # (zero-frame) GSD from the first commit on
         self._f = open(path, "w+b")
-        self._f.write(b"\x00" * _HEADER.size)  # header written at close
+        self._name_loc = _HEADER.size
+        self._name_segs = self._INIT_NAME_SEGS
+        self._index_loc = self._name_loc + self._name_segs * _NAME_SIZE
+        self._index_cap = self._INIT_INDEX_CAP
+        self._data_pos = self._index_loc + self._index_cap * _INDEX_ENTRY.size
+        self._f.write(b"\x00" * self._data_pos)
+        self._write_header()
+        self._f.flush()
 
     def _open_append(self, path: str) -> None:
-        """Resume appending to a file THIS writer produced.
+        """Resume appending to an existing GSD v2 file.
 
-        Our close() lays the namelist then the index at the tail; appends
-        truncate that tail and continue writing data chunks. Files from
-        other GSD implementations (which preallocate index/namelist
-        blocks mid-file) are refused rather than risked."""
+        Reads the committed namelist/index and continues writing data at
+        the end of the file. Nothing committed is truncated or
+        overwritten: new index entries go into the slab's free slots, and
+        a full slab (always the case for files our close() exact-sized)
+        relocates to a doubled slab at the tail on the next commit."""
         with open(path, "rb") as f:
             hdr = f.read(_HEADER.size)
-            (magic, index_loc, n_idx, name_loc, _n_seg, sv, _gv, app, sch,
+            (magic, index_loc, n_idx, name_loc, n_seg, sv, gv, app, sch,
              _r) = _HEADER.unpack(hdr)
             if magic != _MAGIC:
                 raise OSError(f"{path} is not a GSD file")
-            size = f.seek(0, 2)
-            tail = index_loc + n_idx * _INDEX_ENTRY.size
-            data_end = name_loc if name_loc else index_loc
-            if not (
-                _HEADER.size <= data_end <= index_loc and size == tail
-            ):
+            if (gv >> 16) != 2:
                 raise OSError(
-                    "cannot append: GSD index/namelist are not at the file "
-                    "tail (file written by another GSD implementation); "
-                    "rewrite with mode='w'"
+                    f"cannot append to GSD v{gv >> 16} files; rewrite with "
+                    "mode='w'"
                 )
-            f.seek(name_loc)
-            for raw in f.read(index_loc - name_loc).split(b"\x00"):
-                if raw:
-                    self._name_ids[raw.decode()] = len(self._names)
-                    self._names.append(raw.decode())
+            size = f.seek(0, 2)
+            if index_loc + n_idx * _INDEX_ENTRY.size > size or (
+                name_loc and name_loc + n_seg * _NAME_SIZE > size
+            ):
+                raise OSError(f"{path}: GSD header points past end of file")
+            packed_end = 0
+            if name_loc:
+                f.seek(name_loc)
+                raw = f.read(n_seg * _NAME_SIZE)
+                off = 0
+                while off < len(raw):
+                    end = raw.index(b"\x00", off) if b"\x00" in raw[off:] else -1
+                    if end <= off:
+                        break
+                    name = raw[off:end].decode()
+                    self._name_ids[name] = len(self._names)
+                    self._names.append(name)
+                    off = end + 1
+                packed_end = off
             f.seek(index_loc)
             for _ in range(n_idx):
                 frame, N, loc, M, nid, tc, _fl = _INDEX_ENTRY.unpack(
                     f.read(_INDEX_ENTRY.size)
                 )
-                self._index.append((frame, N, loc, M, nid, tc))
+                if loc != 0:  # spec: unused slots have location 0
+                    self._index.append((frame, N, loc, M, nid, tc))
         self._schema_version = sv
         self._application = app.split(b"\x00")[0].decode()
         self._schema = sch.split(b"\x00")[0].decode()
         self._frame = 1 + max((e[0] for e in self._index), default=-1)
+        self._name_loc = name_loc
+        self._name_segs = n_seg
+        self._index_loc = index_loc
+        self._index_cap = n_idx
+        self._n_committed = len(self._index)
+        self._names_committed = packed_end
         self._f = open(path, "r+b")
-        self._f.seek(data_end)
-        self._f.truncate()
+        self._data_pos = size
 
     @property
     def nframes(self) -> int:
@@ -160,35 +206,25 @@ class GSDWriter:
         a = _as_gsd_array(data)
         N = a.shape[0]
         M = a.shape[1] if a.ndim == 2 else 1
-        loc = self._f.tell()
+        loc = self._data_pos
+        self._f.seek(loc)
         self._f.write(a.tobytes())
+        self._data_pos = self._f.tell()
         self._index.append(
             (self._frame, N, loc, M, self._name_id(name), _TYPE_CODES[a.dtype])
         )
 
     def end_frame(self) -> None:
         self._frame += 1
+        self._commit()
 
-    def close(self) -> None:
-        if self._closed:
-            return
-        # v2 namelist: tightly packed null-terminated names, zero padded
-        # to whole 64-byte segments
-        raw = b"".join(n.encode() + b"\x00" for n in self._names)
-        pad = (-len(raw)) % _NAME_SIZE
-        raw += b"\x00" * pad
-        namelist_location = self._f.tell() if raw else 0
-        self._f.write(raw)
-        index_location = self._f.tell()
-        for entry in sorted(self._index, key=lambda e: e[0]):
-            frame, N, loc, M, nid, tc = entry
-            self._f.write(_INDEX_ENTRY.pack(frame, N, loc, M, nid, tc, 0))
+    def _write_header(self) -> None:
         header = _HEADER.pack(
             _MAGIC,
-            index_location,
-            len(self._index),
-            namelist_location,
-            len(raw) // _NAME_SIZE,
+            self._index_loc,
+            self._index_cap,
+            self._name_loc,
+            self._name_segs,
             self._schema_version,
             _GSD_VERSION,
             self._application.encode()[:63],
@@ -197,6 +233,63 @@ class GSDWriter:
         )
         self._f.seek(0)
         self._f.write(header)
+
+    def _commit(self) -> None:
+        """Flush new names + index entries; file is valid afterwards.
+
+        Write order keeps every intermediate state consistent: slab
+        relocations land in fresh space at the tail and are flushed
+        BEFORE the header repoints at them; in-place writes touch only
+        zero (free) slots / the zero tail of the namelist slab.
+        """
+        header_dirty = False
+        # --- namelist ---
+        raw = b"".join(n.encode() + b"\x00" for n in self._names)
+        if len(raw) > self._names_committed:
+            segs = self._name_segs
+            while len(raw) > segs * _NAME_SIZE:
+                segs *= 2
+            if segs != self._name_segs:  # relocate doubled slab to tail
+                self._name_loc = self._data_pos
+                self._name_segs = segs
+                self._f.seek(self._name_loc)
+                self._f.write(raw + b"\x00" * (segs * _NAME_SIZE - len(raw)))
+                self._data_pos = self._f.tell()
+                header_dirty = True
+            else:  # append new names onto the slab's zero tail
+                self._f.seek(self._name_loc + self._names_committed)
+                self._f.write(raw[self._names_committed:])
+            self._names_committed = len(raw)
+        # --- index ---
+        if len(self._index) > self._index_cap:  # relocate doubled slab
+            cap = max(self._index_cap, 1)
+            while len(self._index) > cap:
+                cap *= 2
+            self._index_loc = self._data_pos
+            self._index_cap = cap
+            self._f.seek(self._index_loc)
+            for frame, N, loc, M, nid, tc in self._index:
+                self._f.write(_INDEX_ENTRY.pack(frame, N, loc, M, nid, tc, 0))
+            pad = (cap - len(self._index)) * _INDEX_ENTRY.size
+            self._f.write(b"\x00" * pad)
+            self._data_pos = self._f.tell()
+            header_dirty = True
+        elif len(self._index) > self._n_committed:  # fill free slots
+            self._f.seek(
+                self._index_loc + self._n_committed * _INDEX_ENTRY.size
+            )
+            for frame, N, loc, M, nid, tc in self._index[self._n_committed:]:
+                self._f.write(_INDEX_ENTRY.pack(frame, N, loc, M, nid, tc, 0))
+        self._n_committed = len(self._index)
+        if header_dirty:
+            self._f.flush()  # slabs fully on disk before the header points
+            self._write_header()
+        self._f.flush()
+
+    def close(self) -> None:
+        if self._closed:
+            return
+        self._commit()
         self._f.close()
         self._closed = True
 

@@ -325,7 +325,22 @@ def stencil_pair_force_kernel(
     except Exception:
         svals_const = None
 
-    if os.environ.get("AZTPU_ABLATE_EVAL") == "1":
+    _ablate_eval = os.environ.get("AZTPU_ABLATE_EVAL") == "1"
+    _ablate_bounds = os.environ.get("AZTPU_ABLATE_BOUNDS") == "1"
+    if _ablate_eval or _ablate_bounds:
+        # these flags replace the physics (trivial evaluator) or the
+        # work-skipping bounds — a leaked env var in a production process
+        # would silently corrupt forces, so shout every trace
+        import warnings
+
+        warnings.warn(
+            "AZTPU_ABLATE_EVAL/AZTPU_ABLATE_BOUNDS is active: the pair "
+            "kernel is running in ROOFLINE-ABLATION mode and computes "
+            "WRONG FORCES. Unset it unless you are running "
+            "scripts/ablate_kernel.py.",
+            stacklevel=2,
+        )
+    if _ablate_eval:
         # roofline ablation (scripts/ablate_kernel.py): replace the
         # potential math with a near-trivial evaluator (one cutoff
         # compare + the raw separations), keeping the geometry, Newton
@@ -371,7 +386,7 @@ def stencil_pair_force_kernel(
         sc_cnt = jnp.pad(sc_cnt, ((0, 0), (0, Cp - C)))
     ib = cnt.reshape(n_blocks, CB).max(axis=1).reshape(n_blocks, 1)
     jb = sc_cnt.reshape(n_seg, n_blocks, CB).max(axis=2).T  # [n_blocks, n_seg]
-    if os.environ.get("AZTPU_ABLATE_BOUNDS") == "1":
+    if _ablate_bounds:
         # roofline ablation: disable occupancy skipping (every i-row and
         # j-subtile evaluated) — measures what the per-block bounds buy
         ib = jnp.full_like(ib, cap)

@@ -25,6 +25,7 @@ state (the grow-and-retry idea of src/ParticleEvaporator.cc:81-91).
 from __future__ import annotations
 
 import math
+import os
 
 import jax
 import jax.numpy as jnp
@@ -399,12 +400,28 @@ class Simulation:
         # TPU relay for short periods)
         from .md.trigger import After, Before, On, Periodic
 
+        # Expensive _update bodies (e.g. the evaporator's counter RNG +
+        # full-N top_k) are evaluated EVERY step when inlined, firing or
+        # not — for long trigger periods that costs more than the host
+        # split it replaces, so they inline only while
+        # period <= AZTPU_INLINE_MAX_PERIOD (default 128: ~0.1 ms/step
+        # inline cost x 128 ~ a relay dispatch + sync, measured round 3)
+        max_period = int(os.environ.get("AZTPU_INLINE_MAX_PERIOD", "128"))
         inline_updaters = []
         for u in updaters:
+            if type(u.trigger) is Periodic:
+                period = u.trigger.period
+            elif type(u.trigger) in (After, Before):
+                period = 1  # fires every step while active
+            elif type(u.trigger) is On:
+                period = max_period + 1  # one firing: the host split is cheap
+            else:
+                period = None
             u._inlined = bool(
                 getattr(u, "_inline_ok", False)
-                and type(u.trigger) in (Periodic, After, Before, On)
+                and period is not None
                 and not getattr(u, "_updates_mpcd", False)
+                and (getattr(u, "_inline_cheap", True) or period <= max_period)
             )
             if u._inlined:
                 inline_updaters.append(u)

@@ -38,6 +38,12 @@ class Updater:
     # masked select on its trigger schedule, so the run() chunk does not
     # split (and pay a host dispatch round-trip) at every firing
     _inline_ok = False
+    # False when _update does non-trivial per-step work (the masked-select
+    # inlining evaluates it EVERY step and discards non-firing results):
+    # the runner then inlines only for short trigger periods, where the
+    # per-step cost beats the host chunk split it replaces, and falls
+    # back to host-boundary firing for long ones (simulation.py)
+    _inline_cheap = True
 
     def __init__(self, trigger):
         self.trigger = as_trigger(trigger)
@@ -93,6 +99,7 @@ class ParticleEvaporator(Updater):
     """Evaporate (retype) solvent particles out of a z-slab region."""
 
     _inline_ok = True
+    _inline_cheap = False  # counter RNG + full-N top_k per step when inlined
 
     def __init__(
         self,

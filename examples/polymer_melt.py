@@ -17,29 +17,43 @@ FAST = os.environ.get("AZTPU_EXAMPLE_FAST") == "1"
 
 
 def make_melt(n_chains, chain_len, spacing=0.97, rho=0.5):
-    """Chains laid out as rows of a lattice, then wrapped into the box."""
+    """Straight chains as x-rows of a tetragonal lattice.
+
+    Beads sit at the quartic bond's near-minimum spacing along x, one
+    chain per lattice row, with the transverse row spacing chosen to
+    hit the target density. The minimum non-bonded separation is the
+    row spacing (~1.44 sigma), so every initial force is gentle — an
+    overlapping random-coil start kicks particles across the whole
+    Verlet buffer in one step (ExpandedYukawa diverges at r = delta)
+    and trips the engine's dangerous-rebuild warning. The melt
+    disorders on its own within a few hundred steps at kT = 1.
+    """
     N = n_chains * chain_len
-    L = (N / rho) ** (1 / 3)
+    b_t = np.sqrt(1.0 / (rho * spacing))  # transverse row spacing
+    # row grid (ny x nz) as square as n_chains allows
+    ny = int(np.sqrt(n_chains))
+    while n_chains % ny:
+        ny -= 1
+    nz = n_chains // ny
+    Lx, Ly, Lz = chain_len * spacing, ny * b_t, nz * b_t
     snap = az.Snapshot(N=N, bond_N=n_chains * (chain_len - 1))
-    snap.configuration.box = [L, L, L, 0, 0, 0]
+    snap.configuration.box = [Lx, Ly, Lz, 0, 0, 0]
     snap.particles.types = ["A"]
     snap.bonds.types = ["backbone"]
-    rng = np.random.default_rng(3)
     b = 0
     for c in range(n_chains):
-        # random-walk chain start, straight segments with small kinks
-        pos = rng.uniform(-L / 2, L / 2, 3)
-        d = rng.normal(size=3)
+        iy, iz = c % ny, c // ny
         for m in range(chain_len):
             i = c * chain_len + m
-            snap.particles.position[i] = (pos + L / 2) % L - L / 2
+            snap.particles.position[i] = [
+                (m + 0.5) * spacing - Lx / 2,
+                (iy + 0.5) * b_t - Ly / 2,
+                (iz + 0.5) * b_t - Lz / 2,
+            ]
             if m < chain_len - 1:
                 snap.bonds.typeid[b] = 0
                 snap.bonds.group[b] = [i, i + 1]
                 b += 1
-            d = d + 0.3 * rng.normal(size=3)
-            d /= np.linalg.norm(d)
-            pos = pos + spacing * d
     return snap
 
 

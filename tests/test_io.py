@@ -421,3 +421,62 @@ def test_gsd_writer_direct_and_append(tmp_path):
             np.asarray(snap.particles.position, np.float32),
             r.read_chunk(3, "particles/position"),
         )
+
+
+def test_gsd_append_crash_safety(tmp_path):
+    """An interrupted append never corrupts committed frames.
+
+    The writer keeps the file valid after every end_frame (preallocated
+    slab index committed in place, header repointed only after a new
+    slab is flushed — the reference GSD C library's discipline): killing
+    the process at ANY point between commits must leave every previously
+    committed frame readable. Regression for the round-3 advisor finding
+    (append-open used to truncate the index immediately, so a crash
+    before close destroyed the whole file).
+    """
+    from azplugins_tpu.io.gsd import GSDReader, GSDWriter
+
+    path = str(tmp_path / "crash.gsd")
+    with GSDWriter(path) as w:
+        for k in range(3):
+            w.write_chunk("configuration/step", np.asarray([k], np.uint64))
+            w.write_chunk("particles/position", np.full((4, 3), k, np.float32))
+            w.end_frame()
+
+    # crash immediately after append-open (the advisor's exact scenario):
+    # nothing was truncated, the original frames survive
+    w2 = GSDWriter(path, mode="a")
+    del w2  # abandoned without close
+    with GSDReader(path) as r:
+        assert r.n_frames == 3
+        assert int(r.read_chunk(2, "configuration/step")[0]) == 2
+
+    # crash mid-frame after committing more frames: the committed frames
+    # (including ones that forced an index-slab relocation) survive; only
+    # the un-ended frame is lost
+    w3 = GSDWriter(path, mode="a")
+    assert w3.nframes == 3
+    for k in range(3, 40):  # enough frames to force >= 1 slab relocation
+        w3.write_chunk("configuration/step", np.asarray([k], np.uint64))
+        w3.write_chunk("particles/position", np.full((4, 3), k, np.float32))
+        w3.end_frame()
+    w3.write_chunk("configuration/step", np.asarray([99], np.uint64))
+    w3._f.flush()  # simulate an OS-level crash: buffers drained, no close
+    del w3
+    with GSDReader(path) as r:
+        assert r.n_frames == 40
+        for k in (0, 3, 39):
+            assert int(r.read_chunk(k, "configuration/step")[0]) == k
+            np.testing.assert_array_equal(
+                r.read_chunk(k, "particles/position"),
+                np.full((4, 3), k, np.float32),
+            )
+
+    # and the file still accepts a clean append afterwards
+    with GSDWriter(path, mode="a") as w4:
+        assert w4.nframes == 40
+        w4.write_chunk("configuration/step", np.asarray([40], np.uint64))
+        w4.end_frame()
+    with GSDReader(path) as r:
+        assert r.n_frames == 41
+        assert int(r.read_chunk(40, "configuration/step")[0]) == 40

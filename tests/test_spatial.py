@@ -433,3 +433,107 @@ def test_simulation_strips_more_devices_than_planes():
     np.testing.assert_array_equal(
         np.asarray(sim.state.get_snapshot().particles.position), ref_pos
     )
+
+
+# -- triclinic x spatial (round 4) -------------------------------------------
+
+
+def _tilted_system(N=700, seed=4, tilt=(0.2, 0.0, 0.1)):
+    """Tilted box sized to keep dims with Dx*Dy divisible by 4."""
+    rng = np.random.default_rng(seed)
+    L = [14.5, 7.3, 7.3]
+    snap = az.Snapshot(N=N)
+    snap.configuration.box = L + list(tilt)
+    snap.particles.types = ["A", "B"]
+    snap.particles.typeid[:] = rng.integers(0, 2, N)
+    # fractional fill of the tilted box
+    frac = rng.random((N, 3)) - 0.5
+    Lx, Ly, Lz = L
+    xy, xz, yz = tilt
+    snap.particles.position[:] = np.stack(
+        [
+            frac[:, 0] * Lx + frac[:, 1] * xy * Ly + frac[:, 2] * xz * Lz,
+            frac[:, 1] * Ly + frac[:, 2] * yz * Lz,
+            frac[:, 2] * Lz,
+        ],
+        axis=1,
+    )
+    state, _, _ = state_from_snapshot(snap)
+    spec = D.GridSpec.create(state.box, N, r_cut=1.5, buffer=0.3)
+    assert (spec.dims[0] * spec.dims[1]) % 4 == 0, spec.dims
+    dense, meta = D.densify(state, spec)
+    assert not bool(meta.overflow)
+    return dense, meta, spec, N
+
+
+@pytest.mark.parametrize("drift", [0.0, 0.5])
+def test_spatial_rebin_triclinic_bitwise(drift):
+    """A tilted box through spatial_rebin under a 4-device mesh matches
+    the global rebin bitwise (VERDICT r3 item 8: the spatial path's
+    cell-id/key logic is tilt-agnostic — prove it, don't assume it)."""
+    dense, meta, spec, N = _tilted_system()
+    if drift:
+        rng = np.random.default_rng(9)
+        S = dense.position.shape[0]
+        dpos = jnp.asarray(rng.uniform(-drift, drift, (S, 3)), jnp.float32)
+        dpos = jnp.where((dense.tag >= 0)[:, None], dpos, 0.0)
+        dense = dense.replace(position=dense.position + dpos)
+
+    ref_dense, ref_meta = _rebin_jit(dense, meta, spec, N)
+    mesh = make_mesh(4)
+    got_dense, got_meta = _rebin_jit(
+        shard_state(dense, mesh), meta, spec, N, mesh=mesh
+    )
+    _assert_state_equal(ref_dense, got_dense)
+    np.testing.assert_array_equal(
+        np.asarray(ref_meta.slot_of), np.asarray(got_meta.slot_of)
+    )
+    assert bool(got_meta.overflow) == bool(ref_meta.overflow)
+    assert not bool(got_meta.overflow)
+
+
+def test_simulation_spatial_triclinic_bitwise():
+    """End-to-end: a tilted-box LJ run with spatial decomposition active
+    reproduces the single-device trajectory bitwise (masked dense path +
+    strip rebin together)."""
+
+    def tilted_sim(seed):
+        rng = np.random.default_rng(seed)
+        N = 600
+        L = [14.5, 7.3, 7.3]
+        tilt = [0.2, 0.0, 0.1]
+        snap = az.Snapshot(N=N)
+        snap.configuration.box = L + tilt
+        snap.particles.types = ["A"]
+        frac = rng.random((N, 3)) - 0.5
+        snap.particles.position[:] = np.stack(
+            [
+                frac[:, 0] * L[0] + frac[:, 1] * tilt[0] * L[1]
+                + frac[:, 2] * tilt[1] * L[2],
+                frac[:, 1] * L[1] + frac[:, 2] * tilt[2] * L[2],
+                frac[:, 2] * L[2],
+            ],
+            axis=1,
+        )
+        sim = az.Simulation(seed=7)
+        sim.create_state_from_snapshot(snap)
+        lj = az.pair.Hertz(nlist=az.md.nlist.Cell(buffer=0.3), default_r_cut=1.5)
+        lj.params[("A", "A")] = dict(epsilon=5.0)
+        sim.operations.integrator = az.md.Integrator(
+            dt=0.002,
+            methods=[az.md.methods.Langevin(kT=0.8, default_gamma=1.0)],
+            forces=[lj],
+        )
+        sim.state.thermalize_particle_momenta(kT=0.8)
+        return sim
+
+    ref = tilted_sim(seed=21)
+    ref.run(30)
+    ref_pos = np.asarray(ref.state.get_snapshot().particles.position)
+
+    sim = tilted_sim(seed=21)
+    sim.enable_spatial_decomposition(make_mesh(4))
+    sim.run(30)
+    np.testing.assert_array_equal(
+        np.asarray(sim.state.get_snapshot().particles.position), ref_pos
+    )
