@@ -450,8 +450,13 @@ class CollisionCoupling:
     solutes, giving the solutes hydrodynamic drag, advection, and a
     thermal bath, without any explicit solvent-solute pair potential.
 
-    Registers as an updater (the run loop already splits compiled chunks
-    at updater triggers, so the joint collision applies between chunks):
+    Registers as an updater. With the default trigger the joint collision
+    runs INSIDE the jitted step loop: Simulation windows the chunk at the
+    collision period and applies the collision unconditionally at each
+    window boundary — one collision evaluation per period, no host chunk
+    splits (the per-firing dispatch + blocking sync that round 3
+    eliminated for device-pure updaters). Replacing the trigger with a
+    custom schedule falls back to host-boundary firing between chunks.
 
         srd = az.mpcd.SRD(dt=dt, period=20, cell_size=1.0, kT=1.0)
         sim.mpcd_dynamics = srd

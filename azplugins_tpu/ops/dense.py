@@ -358,7 +358,8 @@ def _state_from_payload(out, layout: tuple, template: State, box: Box) -> State:
     )
 
 
-def _global_assembly(packed_in, cid, n, spec: "GridSpec", layout: tuple):
+def _global_assembly(packed_in, cid, n, spec: "GridSpec", layout: tuple,
+                     n_valid: int | None = None):
     """Full fused-key sort of all n rows -> ([S, K] payload, valid, overflow).
 
     Sort, then one contiguous row-gather of the packed payload: TPU sort
@@ -366,6 +367,15 @@ def _global_assembly(packed_in, cid, n, spec: "GridSpec", layout: tuple):
     operands ~15s, 26 operands >10min at 128k), while a row-major gather
     of [n, K] compiles in <1s and runs at copy speed. When the combined
     (cid, idx) key fits int32 a single fused key sorts ~2x faster still.
+
+    ``n_valid`` is a static upper bound on the number of VALID rows
+    (rows with cid < C). Invalid rows carry cid == C and sort to the
+    tail, so the sorted-payload gather only needs the first ``n_valid``
+    rows — at rebin time (n == S, valid count == N particles) this cuts
+    the first [*, K] row gather from S to N rows (~42% fewer rows at the
+    64k bench shapes; gathers cost per ROW on TPU — BENCH.md rule of
+    thumb). If the bound is ever violated the overflow flag trips (the
+    caller grows and replays), so truncation can never silently corrupt.
     """
     C = spec.n_cells
     cap = spec.cap
@@ -384,22 +394,37 @@ def _global_assembly(packed_in, cid, n, spec: "GridSpec", layout: tuple):
         perm = key_s & jnp.int32((1 << idx_bits) - 1)
     else:
         cid_s, perm = jax.lax.sort([cid, idx], num_keys=1, is_stable=True)
-    packed_sorted = jnp.take(packed_in, perm, axis=0)
+
+    head = n if n_valid is None else min(n, n_valid)
 
     # per-cell start offsets in the sorted order (few queries -> the
     # binary search is cheap here, unlike a per-particle searchsorted)
     start = jnp.searchsorted(cid_s, jnp.arange(C + 1, dtype=jnp.int32))
     start = start.astype(jnp.int32)
     counts = start[1:] - start[:-1]  # [C]
-    overflow = jnp.any(counts > cap)
+    # start[C] = total valid rows; > head would truncate real particles
+    overflow = jnp.any(counts > cap) | (start[C] > head)
 
     # slot-side source rows: slot (c, r) <- sorted row start[c] + r
     rank_b = jax.lax.broadcasted_iota(jnp.int32, (C, cap), 1)
     src = start[:C, None] + rank_b
     valid_slot = rank_b < jnp.minimum(counts, cap)[:, None]
-    src = jnp.where(valid_slot, src, n).reshape(S)  # n = default row
+    src = jnp.where(valid_slot, src, head).reshape(S)  # head = default row
 
     default_row = _payload_default_row(layout)
+    if os.environ.get("AZTPU_REBIN_COMPOSED", "0") == "1":
+        # composed-index form: one narrow [S] gather composes the sort
+        # permutation with the slot map, so the payload moves through ONE
+        # [S, K] row gather instead of two (perm then src). MEASURED
+        # REJECTION (v5e 2026-08-19): narrow [S] gathers cost ~10 ns/row
+        # vs ~6.4 ns/row for wide row gathers — full rebin 4.78 ms vs
+        # 3.09 ms at untuned 64k shapes. Kept as a tested ablation.
+        perm_pad = jnp.concatenate([perm[:head], jnp.full((1,), n, jnp.int32)])
+        src_in = jnp.take(perm_pad, src)  # [S] narrow index gather
+        packed_pad = jnp.concatenate([packed_in, default_row], axis=0)
+        out = jnp.take(packed_pad, src_in, axis=0)
+        return out, valid_slot.reshape(S), overflow
+    packed_sorted = jnp.take(packed_in, perm[:head], axis=0)
     packed_pad = jnp.concatenate([packed_sorted, default_row], axis=0)
     out = jnp.take(packed_pad, src, axis=0)  # [S, K] row gather
     return out, valid_slot.reshape(S), overflow
@@ -417,7 +442,8 @@ def _incremental_ok(spec: "GridSpec") -> bool:
     return S < 2**30 and (C << sbits) < 2**30
 
 
-def _incremental_assembly(packed, cid, valid, spec: "GridSpec", layout: tuple):
+def _incremental_assembly(packed, cid, valid, spec: "GridSpec", layout: tuple,
+                          n_valid: int | None = None):
     """Migrant-local rebin: per-cell lane sort + migrant-only global sort.
 
     Between rebuilds most particles stay in their cell, and the slot
@@ -500,7 +526,7 @@ def _incremental_assembly(packed, cid, valid, spec: "GridSpec", layout: tuple):
         return out, isreal.reshape(S), ovf
 
     def glob(_):
-        return _global_assembly(packed, cid, S, spec, layout)
+        return _global_assembly(packed, cid, S, spec, layout, n_valid)
 
     return jax.lax.cond(ok, incr, glob, None)
 
@@ -541,11 +567,11 @@ def _bin_to_slots(
     if incremental and n == S and _incremental_ok(spec):
         # slot-ordered input (rebin): migrant-local path, bitwise-equal
         out, valid_slot, overflow = _incremental_assembly(
-            packed_in, cid, valid, spec, layout
+            packed_in, cid, valid, spec, layout, N_tags
         )
     else:
         out, valid_slot, overflow = _global_assembly(
-            packed_in, cid, n, spec, layout
+            packed_in, cid, n, spec, layout, N_tags
         )
 
     # empty-slot x sentinels are per-slot values (the single default row

@@ -408,6 +408,7 @@ class Simulation:
         # inline cost x 128 ~ a relay dispatch + sync, measured round 3)
         max_period = int(os.environ.get("AZTPU_INLINE_MAX_PERIOD", "128"))
         inline_updaters = []
+        coupling = None
         for u in updaters:
             if type(u.trigger) is Periodic:
                 period = u.trigger.period
@@ -425,6 +426,71 @@ class Simulation:
             )
             if u._inlined:
                 inline_updaters.append(u)
+            if getattr(u, "_updates_mpcd", False):
+                if coupling is not None:
+                    raise ValueError(
+                        "only one MPCD coupling updater is supported"
+                    )
+                coupling = u
+
+        # MPCD collisional coupling rides INSIDE the jitted chunk: the
+        # step loop is windowed at the collision period and the joint
+        # (solvent + solute) collision applies unconditionally at each
+        # window boundary — no masked per-step collision cost (the
+        # collision is ~10 ms at production solvent counts) and no host
+        # chunk split per firing (a dispatch + blocking scalar sync
+        # through the TPU relay, the round-3 updater pathology,
+        # CHANGELOG 0.3.0). Falls back to host-boundary firing when the
+        # user replaced the default trigger (arbitrary schedules cannot
+        # be windowed).
+        ingraph = (
+            coupling is not None
+            and self._mpcd is not None
+            and type(coupling.trigger) is Periodic
+            and coupling.trigger.period == coupling.srd.period
+            and coupling.trigger.phase == coupling.srd.period - 1
+        )
+        if coupling is not None:
+            coupling._ingraph = ingraph
+        self._coupling_ingraph = coupling if ingraph else None
+        joint_collide = None
+        if ingraph:
+            srd = coupling.srd
+            coupling._attach(self)
+            box0 = self._synced_state().box
+            srd._validate(box0)
+            L_arr = jnp.asarray(
+                [float(box0.L[k]) for k in range(3)], jnp.float32
+            )
+            mass_s = float(self._mpcd["mass"])
+            cseed = self.seed
+
+            def joint_collide(d, solv, c_abs):
+                """Joint SRD collision at absolute MD clock c_abs.
+
+                The solvent streams from its anchor (always one fused
+                jump — f32 chunking invariance, see mpcd.SRD._advance)
+                and both streams' velocities rotate about the
+                mass-weighted cell COM; empty MD slots are trash-binned
+                with zero mass and come back untouched.
+                """
+                pos_a, vel_a, t_a = solv
+                pos_s, vel_s = srd._stream(pos_a, vel_a, c_abs - t_a, L_arr)
+                N_s = pos_s.shape[0]
+                inval = d.tag < 0
+                pos = jnp.concatenate([pos_s, d.position], axis=0)
+                vel = jnp.concatenate([vel_s, d.velocity], axis=0)
+                mass = jnp.concatenate([
+                    jnp.full((N_s,), mass_s, jnp.float32),
+                    jnp.where(inval, 0.0, d.mass),
+                ])
+                invalid = jnp.concatenate([jnp.zeros((N_s,), bool), inval])
+                vnew = srd._collide(
+                    pos, vel, c_abs, L_arr, cseed, mass=mass,
+                    invalid=invalid, n_fill=N_s, mass_fill=mass_s,
+                )
+                d = d.replace(velocity=vnew[N_s:])
+                return d, (pos_s, vnew[:N_s], c_abs)
         spec = self._grid_spec
         dt = integ.dt if integ is not None else 0.0
         seed = self.seed
@@ -513,18 +579,6 @@ class Simulation:
                 )
             return d
 
-        def one_step(dense, meta, t, tbls):
-            """One MD step with NO neighbor rebuild (runs inside a segment)."""
-            for m in methods:
-                dense = m.step1(dense, dt, t, seed)
-            slot_of = meta.slot_of if spec is not None else None
-            net, ntq = compute_net(dense, slot_of, t, tbls)
-            dense = _set_net(dense, net, ntq)
-            for m in methods:
-                dense = m.step2(dense, dt, t, seed)
-            dense = apply_inline_updaters(dense, t)
-            return dense, meta
-
         # The chunk is segmented: every segment REBINS UNCONDITIONALLY and
         # then runs up to `seg_len` steps that only *check* the Verlet
         # drift, OR-ing a violation flag into the carry. The host halves
@@ -571,59 +625,95 @@ class Simulation:
             def do_rebin(d, mt):
                 return D.rebin(d, mt, spec, N_tags, fields, need_slot_of)
 
-        def run_chunk(dense, meta, t0, n_steps, seg_len, tbls, rebin_first=True):
-            if spec is None:
-                def body(i, carry):
-                    d, mt = carry
-                    return one_step(d, mt, t0 + i, tbls)
-
-                dense, meta = jax.lax.fori_loop(0, n_steps, body, (dense, meta))
-                return dense, meta, jnp.asarray(False)
-
-            def step_body(k, carry):
-                d, mt, start, viol = carry
-                t = t0 + start + k
+        def run_chunk(dense, meta, t0, n_steps, seg_len, tbls,
+                      rebin_first=True, solv=None):
+            def step_body(j, carry):
+                """One MD step at chunk-relative index j (t = t0 + j)."""
+                d, mt, viol = carry
+                t = t0 + j
                 with jax.named_scope("integrate_step1"):
                     for m in methods:
                         d = m.step1(d, dt, t, seed)
-                # the drift check against the rebuild-reference positions;
-                # k == 0 after a fresh rebuild cannot violate unless a
-                # particle crosses half the margin in one step
-                with jax.named_scope("verlet_drift_check"):
-                    viol = viol | D.needs_rebin(d, mt, spec)
+                if spec is not None:
+                    # the drift check against the rebuild-reference
+                    # positions; the first step after a fresh rebuild
+                    # cannot violate unless a particle crosses half the
+                    # margin in one step
+                    with jax.named_scope("verlet_drift_check"):
+                        viol = viol | D.needs_rebin(d, mt, spec)
                 with jax.named_scope("forces"):
-                    net, ntq = compute_net(d, mt.slot_of, t, tbls)
+                    net, ntq = compute_net(
+                        d, mt.slot_of if spec is not None else None, t, tbls
+                    )
                 d = _set_net(d, net, ntq)
                 with jax.named_scope("integrate_step2"):
                     for m in methods:
                         d = m.step2(d, dt, t, seed)
                 with jax.named_scope("updaters"):
                     d = apply_inline_updaters(d, t)
-                return d, mt, start, viol
-
-            if not rebin_first:
-                d, mt, _, viol = jax.lax.fori_loop(
-                    0, n_steps, step_body,
-                    (dense, meta, jnp.int32(0), jnp.asarray(False)),
-                )
                 return d, mt, viol
 
-            def seg_body(s, carry):
-                d, mt, viol = carry
-                start = s * seg_len
-                steps = jnp.minimum(seg_len, n_steps - start)
-                with jax.named_scope("rebin"):
-                    d, mt = do_rebin(d, mt)
-                d, mt, _, viol = jax.lax.fori_loop(
-                    0, steps, step_body, (d, mt, start, viol)
-                )
-                return d, mt, viol
+            with_rebin = spec is not None and rebin_first
 
-            n_segs = (n_steps + seg_len - 1) // seg_len
-            dense, meta, viol = jax.lax.fori_loop(
-                0, n_segs, seg_body, (dense, meta, jnp.asarray(False))
+            def steps_span(carry, a, b):
+                """Run chunk-relative steps [a, b).
+
+                With rebuilds, ``a`` is always on the absolute rebuild
+                schedule (the host aligns chunk starts and, in coupled
+                mode, snaps the interval to divide the collision period
+                so window boundaries stay schedule points).
+                """
+                if not with_rebin:
+                    return jax.lax.fori_loop(a, b, step_body, carry)
+
+                def seg_body(s, c):
+                    d, mt, viol = c
+                    start = a + s * seg_len
+                    with jax.named_scope("rebin"):
+                        d, mt = do_rebin(d, mt)
+                    return jax.lax.fori_loop(
+                        start, jnp.minimum(start + seg_len, b), step_body,
+                        (d, mt, viol),
+                    )
+
+                n_segs = (b - a + seg_len - 1) // seg_len
+                return jax.lax.fori_loop(0, n_segs, seg_body, carry)
+
+            carry = (dense, meta, jnp.asarray(False))
+            if joint_collide is None:
+                dense, meta, viol = steps_span(carry, jnp.int32(0), n_steps)
+                return dense, meta, viol
+
+            # Coupled MPCD: window the chunk at the collision period.
+            # Collisions land at absolute MD clocks divisible by P; the
+            # k-th window runs steps up to its collision clock, then the
+            # joint collision applies UNCONDITIONALLY (one evaluation per
+            # period, not a masked evaluation per step). Any chunk
+            # alignment works: the first window may be partial and the
+            # tail (past the last collision) runs collision-free.
+            P = jnp.int32(coupling.srd.period)
+            first_c = (t0 // P + 1) * P  # first collision clock > t0
+            n_col = jnp.maximum((t0 + n_steps - first_c) // P + 1, 0)
+
+            def col_body(k, cc):
+                d, mt, viol, solv = cc
+                b = first_c - t0 + k * P  # chunk-relative collision point
+                a = jnp.maximum(b - P, 0)
+                d, mt, viol = steps_span((d, mt, viol), a, b)
+                with jax.named_scope("mpcd_joint_collision"):
+                    d, solv = joint_collide(d, solv, t0 + b)
+                return d, mt, viol, solv
+
+            dense, meta, viol, solv = jax.lax.fori_loop(
+                0, n_col, col_body, (*carry, solv)
             )
-            return dense, meta, viol
+            tail_a = jnp.clip(
+                first_c - t0 + (n_col - 1) * P, 0, n_steps
+            )
+            dense, meta, viol = steps_span(
+                (dense, meta, viol), tail_a, n_steps
+            )
+            return dense, meta, viol, solv
 
         self._run_chunk_impl = run_chunk
         self._compute_net = compute_net
@@ -652,19 +742,22 @@ class Simulation:
         impl = self._run_chunk_impl
         const_tbls = jax.tree_util.tree_map(jnp.asarray, tbls)
         self._run_chunk_bound = jax.jit(
-            lambda dense, meta, t0, n_steps, seg_len, rebin_first: impl(
+            lambda dense, meta, t0, n_steps, seg_len, rebin_first, solv: impl(
                 dense, meta, t0, n_steps, seg_len, const_tbls,
-                rebin_first=rebin_first,
+                rebin_first=rebin_first, solv=solv,
             ),
             static_argnums=(5,),
         )
         self._bound_fp = self._tables_fingerprint(tbls)
 
-    def _run_chunk(self, dense, meta, t0, n_steps, seg_len, tbls, rebin_first=True):
+    def _run_chunk(self, dense, meta, t0, n_steps, seg_len, tbls,
+                   rebin_first=True, solv=None):
         fp = self._tables_fingerprint(tbls)
         if self._run_chunk_bound is None or fp != self._bound_fp:
             self._bind_tables(tbls)
-        return self._run_chunk_bound(dense, meta, t0, n_steps, seg_len, rebin_first)
+        return self._run_chunk_bound(
+            dense, meta, t0, n_steps, seg_len, rebin_first, solv
+        )
 
     # -- dense layout management ---------------------------------------------
     def _identity_meta(self, state: State) -> D.GridMeta:
@@ -710,6 +803,29 @@ class Simulation:
                 self._meta.slot_of, NamedSharding(m, P())
             ),
         )
+        # MPCD solvent: shard the particle axis over the same mesh (the
+        # solvent is usually ~10x the solutes, so a replicated stream
+        # would dominate per-device memory at scale). SRD's dataflow is
+        # mesh-agnostic — streaming is elementwise, cell reductions are
+        # one scatter-add that GSPMD partitions into local partial
+        # scatters + an all-reduce over ICI, and the per-particle gather
+        # reads the (replicated) cell table locally. The cross-device
+        # regrouping of the f32 cell sums is the ONLY divergence from the
+        # single-device stream (DEVIATIONS.md) — within one collision it
+        # is a ~1e-7 relative effect.
+        if self._mpcd is not None:
+            sh = NamedSharding(m, P("d"))
+            N_s = self._mpcd["position"].shape[0]
+            if N_s % m.devices.size == 0:
+                for k in ("position", "velocity"):
+                    self._mpcd[k] = jax.device_put(self._mpcd[k], sh)
+                anchor = self._mpcd.get("_srd_anchor")
+                if anchor is not None:
+                    self._mpcd["_srd_anchor"] = (
+                        jax.device_put(anchor[0], sh),
+                        jax.device_put(anchor[1], sh),
+                        anchor[2],
+                    )
 
     def enable_spatial_decomposition(self, mesh, migrate_cap: int | None = None):
         """Distribute the simulation over ``mesh`` as spatial domains.
@@ -857,7 +973,7 @@ class Simulation:
 
         pts = []
         for u in self.operations.updaters:
-            if getattr(u, "_inlined", False):
+            if getattr(u, "_inlined", False) or getattr(u, "_ingraph", False):
                 continue  # applied inside the jitted step loop
             p = _next_fire(u.trigger, t)
             if p is None:
@@ -885,7 +1001,7 @@ class Simulation:
         from .write import _next_fire
 
         for i, u in enumerate(self.operations.updaters):
-            if getattr(u, "_inlined", False):
+            if getattr(u, "_inlined", False) or getattr(u, "_ingraph", False):
                 continue  # applied inside the jitted step loop
             if _next_fire(u.trigger, t) != t:
                 continue
@@ -1020,11 +1136,22 @@ class Simulation:
             # rebuild times are independent of run() chunking: an
             # unaligned start runs a no-rebuild continuation chunk up to
             # the next schedule point
-            off = self._timestep % self._seg_len
+            coup = getattr(self, "_coupling_ingraph", None)
+            seg_base = self._seg_len
+            if coup is not None:
+                # in-graph collision windows are schedule points: snap
+                # the rebuild interval down to a divisor of the collision
+                # period so every window boundary stays rebuild-aligned
+                # (a deterministic function of the adaptive state, so the
+                # chunking-invariance contract holds)
+                P = coup.srd.period
+                while P % seg_base != 0:
+                    seg_base -= 1
+            off = self._timestep % seg_base
             rebin_first = off == 0
             if off:
-                chunk = min(chunk, self._seg_len - off)
-            seg_arg = self._seg_len
+                chunk = min(chunk, seg_base - off)
+            seg_arg = seg_base
             if off and self._realign:
                 # post-violation realignment prefix: rebuild every step
                 # until the timestep reaches the halved schedule
@@ -1032,12 +1159,25 @@ class Simulation:
                 rebin_first = True
             elif not off:
                 self._realign = False
+            solv = None
+            if coup is not None:
+                anchor = self._mpcd.get("_srd_anchor")
+                if anchor is None:
+                    anchor = (
+                        self._mpcd["position"], self._mpcd["velocity"],
+                        jnp.int32(self._timestep),
+                    )
+                solv = (anchor[0], anchor[1], jnp.int32(anchor[2]))
             backup_dense, backup_meta = self._dense, self._meta
             t0 = jnp.int32(self._timestep)
-            dense, meta, violated = self._run_chunk(
+            out = self._run_chunk(
                 backup_dense, backup_meta, t0, jnp.int32(chunk),
-                jnp.int32(seg_arg), tbls, rebin_first
+                jnp.int32(seg_arg), tbls, rebin_first, solv
             )
+            if coup is not None:
+                dense, meta, violated, solv_out = out
+            else:
+                dense, meta, violated = out
             if self._grid_spec is not None and bool(meta.overflow):
                 # transactional replay with grown capacity
                 self._dense, self._meta = backup_dense, backup_meta
@@ -1076,6 +1216,19 @@ class Simulation:
             self._state_stale = True
             self._timestep += chunk
             remaining -= chunk
+            if coup is not None:
+                # the joint collisions ran in-graph: adopt the returned
+                # solvent anchor (replays recompute from the untouched
+                # _mpcd, so rollback is automatic); _advance below only
+                # streams the observable state (coupled SRD skips
+                # collisions)
+                pos_a, vel_a, t_a = solv_out
+                self._mpcd = {
+                    **self._mpcd,
+                    "position": pos_a,
+                    "velocity": vel_a,
+                    "_srd_anchor": (pos_a, vel_a, t_a),
+                }
             if self._mpcd is not None and self.mpcd_dynamics is not None:
                 # advance the solvent stream over the ACCEPTED chunk only
                 # (replays must not double-advance; collisions key on the

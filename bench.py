@@ -463,6 +463,64 @@ def bench_mpcd():
     }), flush=True)
 
 
+def bench_mpcd_coupled():
+    """BENCH_MPCD=1: colloid-hydrodynamics throughput — LJ colloids
+    embedded in a driven SRD solvent via CollisionCoupling (the joint
+    collision runs inside the jitted chunk; examples/colloid_hydrodynamics
+    at production scale). MD steps/s including the coupled collisions."""
+    import azplugins_tpu as az
+
+    rng = np.random.default_rng(9)
+    L = float(os.environ.get("BENCH_MPCD_HYDRO_L", "32"))
+    N_s = int(5 * L**3)  # solvent at density 5 per collision cell
+    n = 14
+    N_c = n**3
+    snap = az.Snapshot(N=N_c, mpcd_N=N_s)
+    snap.configuration.box = [L, L, L, 0, 0, 0]
+    snap.particles.types = ["colloid"]
+    x = (np.arange(n) + 0.5) * (L / n) - L / 2
+    snap.particles.position[:] = np.stack(
+        np.meshgrid(x, x, x, indexing="ij"), -1
+    ).reshape(-1, 3)
+    snap.particles.mass[:] = 5.0
+    snap.mpcd.position[:] = (rng.random((N_s, 3)) - 0.5) * L
+    snap.mpcd.velocity[:] = rng.normal(0, 1.0, (N_s, 3))
+    snap.mpcd.velocity[:] -= snap.mpcd.velocity.mean(axis=0)
+    sim = az.Simulation(seed=11)
+    sim.create_state_from_snapshot(snap)
+    lj = az.pair.LJ(nlist=az.md.nlist.Cell(buffer=0.4),
+                    default_r_cut=2.0 ** (1 / 6), mode="shift")
+    lj.params[("colloid", "colloid")] = dict(epsilon=1.0, sigma=1.0)
+    sim.operations.integrator = az.md.Integrator(
+        dt=0.005, methods=[az.md.methods.ConstantVolume()], forces=[lj]
+    )
+    srd = az.mpcd.SRD(dt=0.005, period=20, angle=130.0, cell_size=1.0,
+                      kT=1.0, body_force=(0.02, 0.0, 0.0))
+    sim.mpcd_dynamics = srd
+    sim.operations.updaters.append(az.mpcd.CollisionCoupling(srd))
+    sim.auto_tune_after = 150
+    sim.run(260)  # compile + warm + auto-tune + settle (13 collisions)
+    sim._seg_adapt = False
+    _stage(f"mpcd_coupled: N_c={N_c} N_s={N_s} warm done; "
+           f"ingraph={sim.operations.updaters[0]._ingraph}")
+    ms = time_steps(sim, 100, 400)
+    v_s = np.asarray(sim._mpcd["velocity"])
+    v_c = np.asarray(sim.state.get_snapshot().particles.velocity)
+    print(json.dumps({
+        "metric": "timesteps_per_second_colloid_hydrodynamics",
+        "value": round(1e3 / ms, 1),
+        "unit": "steps/s",
+        "vs_baseline": None,
+        "extra": {
+            "N_colloid": N_c, "N_solvent": N_s, "period": 20,
+            "ms_per_step": round(ms, 3),
+            "collisions_in_graph": bool(sim.operations.updaters[0]._ingraph),
+            "solvent_drift_vx": round(float(v_s[:, 0].mean()), 4),
+            "colloid_drift_vx": round(float(v_c[:, 0].mean()), 4),
+        },
+    }), flush=True)
+
+
 def main():
     warm_steps = int(os.environ.get("BENCH_WARM", "200"))
     steps = int(os.environ.get("BENCH_STEPS", "1000"))
@@ -484,6 +542,7 @@ def main():
 
     if os.environ.get("BENCH_MPCD") == "1":
         bench_mpcd()
+        bench_mpcd_coupled()
     bench_extras()  # configs 2-5 first; the headline line prints LAST
 
     t0 = time.perf_counter()

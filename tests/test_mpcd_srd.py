@@ -262,6 +262,45 @@ def test_coupling_chunking_invariant():
     )
 
 
+def test_coupling_runs_in_graph_without_chunk_splits():
+    """With the default trigger, the joint collision is windowed INSIDE
+    the compiled chunk: an aligned 100-step run with period 10 must
+    dispatch ONE chunk, not one per collision (each host split costs a
+    dispatch + blocking sync through the TPU relay — round-4 fix)."""
+    sim = _coupled_sim(period=10)
+    sim.run(10)  # attach + compile + settle alignment
+    sim._seg_adapt = False  # quiet the interval-adaptation quantum splits
+    coupling = sim.operations.updaters[0]
+    assert coupling._ingraph
+
+    calls = []
+    orig = sim._run_chunk
+
+    def counting(*args, **kw):
+        calls.append(args[3])  # n_steps
+        return orig(*args, **kw)
+
+    sim._run_chunk = counting
+    sim.run(100)
+    assert len(calls) == 1, calls
+    # and collisions really happened in that single chunk: the anchor
+    # advanced to the last collision clock (110)
+    assert int(sim._mpcd["_srd_anchor"][2]) == 110
+
+
+def test_coupling_custom_trigger_falls_back_to_host():
+    """A replaced trigger cannot be windowed; the coupling must fall back
+    to host-boundary firing (and still fire)."""
+    sim = _coupled_sim(period=10)
+    coupling = sim.operations.updaters[0]
+    coupling.trigger = az.trigger.Periodic(10, phase=3)
+    v0 = np.asarray(sim._state.velocity).copy()
+    sim.run(30)
+    assert not coupling._ingraph
+    v1 = np.asarray(sim.state.get_snapshot().particles.velocity)
+    assert not np.allclose(v1, v0)  # collisions still coupled the solutes
+
+
 def test_srd_rejects_bad_geometry():
     sim = _solvent_sim(mpcd_kwargs=dict(cell_size=0.9))
     with pytest.raises(ValueError, match="multiple"):

@@ -537,3 +537,93 @@ def test_simulation_spatial_triclinic_bitwise():
     np.testing.assert_array_equal(
         np.asarray(sim.state.get_snapshot().particles.position), ref_pos
     )
+
+
+# -- MPCD solvent under the mesh (round 4) -----------------------------------
+
+
+def _srd_arrays(N=4096, L=8.0, seed=3):
+    rng = np.random.default_rng(seed)
+    pos = (rng.random((N, 3)).astype(np.float32) - 0.5) * L
+    vel = rng.normal(0, 1.0, (N, 3)).astype(np.float32)
+    vel -= vel.mean(axis=0)
+    return jnp.asarray(pos), jnp.asarray(vel)
+
+
+def test_srd_solvent_sharded_advance():
+    """The SRD solvent shards over the particle axis: streaming is
+    elementwise, the cell reduction is a partial scatter-add + psum, and
+    the per-cell gather reads the replicated table locally. The sharded
+    collision matches the single-device one to f32 reduction-regrouping
+    tolerance (cell sums regroup across devices — the only divergence,
+    DEVIATIONS.md), and the outputs STAY sharded (no silent replication
+    through the advance)."""
+    from azplugins_tpu.core.box import Box
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    box = Box.cube(8.0)
+    srd = az.mpcd.SRD(dt=0.02, period=5, angle=130.0, cell_size=1.0, kT=1.0)
+    pos, vel = _srd_arrays()
+    mpcd_rep = {"position": pos, "velocity": vel, "mass": 1.0}
+    out_rep = srd._advance(dict(mpcd_rep), box, 0, 10, seed=11)
+
+    mesh = make_mesh(8)
+    sh = NamedSharding(mesh, P("d"))
+    srd2 = az.mpcd.SRD(dt=0.02, period=5, angle=130.0, cell_size=1.0, kT=1.0)
+    mpcd_sh = {
+        "position": jax.device_put(pos, sh),
+        "velocity": jax.device_put(vel, sh),
+        "mass": 1.0,
+    }
+    out_sh = srd2._advance(mpcd_sh, box, 0, 10, seed=11)
+
+    np.testing.assert_allclose(
+        np.asarray(out_sh["position"]), np.asarray(out_rep["position"]),
+        rtol=0, atol=5e-5,
+    )
+    np.testing.assert_allclose(
+        np.asarray(out_sh["velocity"]), np.asarray(out_rep["velocity"]),
+        rtol=0, atol=5e-5,
+    )
+    assert not out_sh["position"].sharding.is_fully_replicated
+    assert not out_sh["velocity"].sharding.is_fully_replicated
+    # momentum is conserved under the mesh (collisions rotate about COM)
+    p0 = np.asarray(vel).sum(axis=0)
+    p1 = np.asarray(out_sh["velocity"]).sum(axis=0)
+    np.testing.assert_allclose(p1, p0, atol=2e-2)
+
+
+def test_simulation_spatial_shards_solvent():
+    """enable_spatial_decomposition places the MPCD stream sharded over
+    the mesh and the run keeps it there (SURVEY §2.12: at production
+    ratios the solvent is ~10x the solutes — it must ride the
+    distribution axis, not replicate)."""
+    rng = np.random.default_rng(5)
+    N, N_s = 600, 4096
+    L = [14.6, 7.3, 7.3]  # cell_size 7.3/8 divides every edge
+    snap = az.Snapshot(N=N, mpcd_N=N_s)
+    snap.configuration.box = L + [0, 0, 0]
+    snap.particles.types = ["A"]
+    snap.particles.position[:] = (rng.random((N, 3)) - 0.5) * np.asarray(L)
+    snap.mpcd.position[:] = (rng.random((N_s, 3)) - 0.5) * np.asarray(L)
+    snap.mpcd.velocity[:] = rng.normal(0, 1.0, (N_s, 3))
+    sim = az.Simulation(seed=7)
+    sim.create_state_from_snapshot(snap)
+    lj = az.pair.Hertz(nlist=az.md.nlist.Cell(buffer=0.3), default_r_cut=1.5)
+    lj.params[("A", "A")] = dict(epsilon=5.0)
+    sim.operations.integrator = az.md.Integrator(
+        dt=0.002,
+        methods=[az.md.methods.Langevin(kT=0.8, default_gamma=1.0)],
+        forces=[lj],
+    )
+    # non-multiple cell_size for the box y/z would fail validation; the
+    # solvent grid uses its own cell_size — pick one that divides L
+    sim.mpcd_dynamics = az.mpcd.SRD(
+        dt=0.002, period=5, angle=130.0, cell_size=7.3 / 8, kT=0.8
+    )
+    sim.enable_spatial_decomposition(make_mesh(8))
+    sim.run(12)
+    assert not sim._mpcd["position"].sharding.is_fully_replicated
+    assert not sim._mpcd["velocity"].sharding.is_fully_replicated
+    # the solvent actually advanced (streaming + at least 2 collisions)
+    assert int(sim._mpcd["_srd_anchor"][2]) == 10
