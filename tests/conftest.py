@@ -115,3 +115,29 @@ def simulation_factory():
         return sim
 
     return make
+
+
+# Per-test duration budget (round-4; the suite's wall-clock crept from
+# 484s to 624s across round 3 with nothing enforcing it). CI sets
+# AZTPU_TEST_BUDGET_S; any single test whose CALL phase exceeds it fails
+# loudly, so a slow regression is caught at the offending test, not as
+# mysterious total creep. Unset (default) locally: wall-clock under an
+# interactively loaded machine is too noisy to gate on.
+import time as _time  # noqa: E402
+
+
+@pytest.hookimpl(hookwrapper=True)
+def pytest_runtest_call(item):
+    t0 = _time.perf_counter()
+    yield
+    budget = float(os.environ.get("AZTPU_TEST_BUDGET_S", "0") or 0)
+    if budget:
+        dt = _time.perf_counter() - t0
+        if dt > budget:
+            pytest.fail(
+                f"{item.nodeid} took {dt:.1f}s, over the per-test "
+                f"duration budget AZTPU_TEST_BUDGET_S={budget:.0f}s — "
+                "split the test, shrink its shapes, or raise the budget "
+                "deliberately in CI",
+                pytrace=False,
+            )
