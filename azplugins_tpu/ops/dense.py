@@ -397,8 +397,13 @@ def _global_assembly(packed_in, cid, n, spec: "GridSpec", layout: tuple,
 
     head = n if n_valid is None else min(n, n_valid)
 
-    # per-cell start offsets in the sorted order (few queries -> the
-    # binary search is cheap here, unlike a per-particle searchsorted)
+    # per-cell start offsets in the sorted order. The scan method's
+    # binary search gathers all C+1 query rows per iteration
+    # (~0.2 ms at 64k bench shapes — the rebuild's third-largest term),
+    # but the method="sort" alternative was MEASURED SLOWER on the v5e
+    # (0.70 vs 0.20 ms: its merged sort carries positions through
+    # multi-operand sorts + unpermute gathers). Scan stays. (BENCH.md
+    # round-4 rebin section.)
     start = jnp.searchsorted(cid_s, jnp.arange(C + 1, dtype=jnp.int32))
     start = start.astype(jnp.int32)
     counts = start[1:] - start[:-1]  # [C]

@@ -59,13 +59,14 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 __all__ = ["stencil_pair_force_kernel", "has_tpu", "pallas_mode", "approx_recip",
-           "pad_cap"]
+           "pad_cap", "subtile_h"]
 
 _SENTINEL = 1.0e18
-# j-subtile height of the pair microkernel (rows per register-resident
-# tile). 16 measured ~35% faster than 8 at 64k (fewer per-subtile i-row
-# reduce/RMW issues); 32 regressed (register spill).
-_SUBTILE_H = int(os.environ.get("AZTPU_SUBTILE_H", "16"))
+# default j-subtile height of the pair microkernel (rows per
+# register-resident tile) on dense grids. 16 measured ~35% faster than 8
+# at 64k (fewer per-subtile i-row reduce/RMW issues); 32 regressed
+# (register spill). Dilute grids pick 8 — see subtile_h().
+_SUBTILE_H_DEFAULT = 16
 # scoped VMEM budget for choosing the J-segment size (the hardware limit
 # is 16M; leave headroom for Mosaic's own temporaries)
 _VMEM_BUDGET = 10 * 1024 * 1024
@@ -84,10 +85,35 @@ def approx_recip(x):
     return r0 * (2.0 - x * r0)
 
 
-def pad_cap(cap: int) -> int:
+def subtile_h(cap: int) -> int:
+    """Production j-subtile height for a grid with ``cap`` slots/cell.
+
+    H=16 measured ~35% faster than 8 on the dense 64k headline (cap 56:
+    fewer per-subtile i-row reduce/RMW issues). But H is also the
+    work-skipping QUANTUM: a j-subtile runs whole whenever any lane-cell
+    of the block has occupancy above its first row, so on dilute grids
+    (small cap) H=16 evaluates 16 j-rows where typical occupancy is ~2.
+    Modeled on the equilibrated patchy state (cap 16, mean occ 2.2):
+    H=8 exactly halves the pair EVALUATIONS while occupancy-order
+    blocking buys nothing (scripts/model_brick_blocks.py); measured on
+    chip the step gains +11% (3.91 -> 3.53 ms — per-subtile fixed
+    costs don't scale with H, so the eval saving is diluted).
+    Heuristic: H=8 when the 16-row quantum cannot amortize
+    (cap <= 24), else 16. AZTPU_SUBTILE_H overrides.
+    """
+    env = os.environ.get("AZTPU_SUBTILE_H")
+    if env:
+        h = int(env)
+        return h if h % 8 == 0 else 8
+    return 8 if cap <= 24 else _SUBTILE_H_DEFAULT
+
+
+def pad_cap(cap: int, h: int | None = None) -> int:
     """Row count of each per-offset J block: cap rounded up to the subtile
     height (tail rows sit at far sentinels and are skipped by j_bound)."""
-    h = _SUBTILE_H if _SUBTILE_H % 8 == 0 else 8
+    if h is None:
+        h = subtile_h(cap)
+    h = h if h % 8 == 0 else 8
     return ((cap + h - 1) // h) * h
 
 
@@ -304,6 +330,7 @@ def stencil_pair_force_kernel(
     n_acc: int = 3,
     cell_block: int = 128,
     interpret: bool = False,
+    subtile: int | None = None,
 ):
     """Run the stencil pair kernel.
 
@@ -355,7 +382,9 @@ def stencil_pair_force_kernel(
     cap, C = xi_t.shape
     J = jx_t.shape[0]
     n_seg = J // cap_pad
-    H = _SUBTILE_H if cap_pad % _SUBTILE_H == 0 else 8
+    H = subtile_h(cap) if subtile is None else subtile
+    if cap_pad % H != 0:
+        H = 8
     if cap_pad % H != 0:
         raise ValueError(
             f"cap_pad ({cap_pad}) must be a multiple of the subtile height"

@@ -56,6 +56,99 @@ def _force_phase_ms(sim, n_lo=20, n_hi=120):
     return best
 
 
+def _single_force_ms(sim, idx, n_lo=20, n_hi=120):
+    """Differential ms of ONE attached force (stencil/bond/external)."""
+    import jax
+    import jax.numpy as jnp
+
+    f = sim._forces()[idx]
+    tbl = jax.tree_util.tree_map(jnp.asarray, f._device_tables())
+    tbls = jax.tree_util.tree_map(jnp.asarray, sim._force_tables())
+    spec = sim._grid_spec
+    slot_of = sim._meta.slot_of if spec is not None else None
+    ctx = sim._ctx()
+    from azplugins_tpu.ops import dense as D
+
+    masked = bool(np.any(np.asarray(sim._state.box.tilt) != 0.0)) or (
+        spec is not None and not spec.newton_ok
+    )
+    need_t = masked or len(sim._particle_types) > 1
+
+    @jax.jit
+    def loop(dense, n):
+        def body(i, d):
+            d = d.replace(position=d.position + jnp.float32(1e-9) * i)
+            jb = (
+                D.make_jblocks(
+                    d, spec,
+                    getattr(f, "_needs_velocity_j", False),
+                    getattr(f, "_needs_tag_j", False),
+                    getattr(f, "_needs_quat_j", False),
+                    half=spec.newton_ok, need_typeid=need_t,
+                )
+                if getattr(f, "_needs_nlist", False)
+                else None
+            )
+            r = f._compute_dense(
+                d, jb, spec, slot_of, i, ctx, tbl, want="force",
+                masked=masked,
+            )
+            return d.replace(net_force=r.force)
+
+        return jax.lax.fori_loop(0, n, body, dense)
+
+    del tbls
+    B.sync_scalar(loop(sim._dense, jnp.int32(n_hi)).net_force)
+    best = float("inf")
+    for _ in range(2):
+        t0 = time.perf_counter()
+        B.sync_scalar(loop(sim._dense, jnp.int32(n_lo)).net_force)
+        t_lo = time.perf_counter() - t0
+        t0 = time.perf_counter()
+        B.sync_scalar(loop(sim._dense, jnp.int32(n_hi)).net_force)
+        t_hi = time.perf_counter() - t0
+        best = min(best, (t_hi - t_lo) / (n_hi - n_lo) * 1e3)
+    return best
+
+
+def _integrator_ms(sim, n_lo=20, n_hi=120):
+    """Differential ms of step1+step2+drift-check (no forces)."""
+    import jax
+    import jax.numpy as jnp
+
+    from azplugins_tpu.ops import dense as D
+
+    methods = sim.operations.integrator.methods
+    dt = sim.operations.integrator.dt
+    seed = sim.seed
+    spec = sim._grid_spec
+
+    @jax.jit
+    def loop(dense, meta, n):
+        def body(i, carry):
+            d, viol = carry
+            for m in methods:
+                d = m.step1(d, dt, i, seed)
+            viol = viol | D.needs_rebin(d, meta, spec)
+            for m in methods:
+                d = m.step2(d, dt, i, seed)
+            return d, viol
+
+        return jax.lax.fori_loop(0, n, body, (dense, jnp.asarray(False)))
+
+    B.sync_scalar(loop(sim._dense, sim._meta, jnp.int32(n_hi))[0].position)
+    best = float("inf")
+    for _ in range(2):
+        t0 = time.perf_counter()
+        B.sync_scalar(loop(sim._dense, sim._meta, jnp.int32(n_lo))[0].position)
+        t_lo = time.perf_counter() - t0
+        t0 = time.perf_counter()
+        B.sync_scalar(loop(sim._dense, sim._meta, jnp.int32(n_hi))[0].position)
+        t_hi = time.perf_counter() - t0
+        best = min(best, (t_hi - t_lo) / (n_hi - n_lo) * 1e3)
+    return best
+
+
 def _occupancy(sim):
     import jax
 
@@ -77,7 +170,20 @@ def roofline(name, builder):
 
     step_ms = B.time_steps(sim, 60, 300)
     force_ms = _force_phase_ms(sim)
+    for i, f in enumerate(sim._forces()):
+        try:
+            fms = _single_force_ms(sim, i)
+            print(f"    force[{i}] {type(f).__name__}: {fms:.3f} ms",
+                  flush=True)
+        except Exception as e:  # pragma: no cover
+            print(f"    force[{i}] {type(f).__name__}: FAILED {e}",
+                  flush=True)
     rebin_ms = B.time_rebin(sim)
+    try:
+        integ_ms = _integrator_ms(sim)
+        print(f"    integrator+driftcheck: {integ_ms:.3f} ms", flush=True)
+    except Exception as e:  # pragma: no cover
+        print(f"    integrator probe FAILED {e}", flush=True)
     rebin_amort = rebin_ms / max(settled, 1)
     rest = step_ms - force_ms - rebin_amort
     counts = _occupancy(sim)
@@ -124,6 +230,7 @@ def main():
         "dpd": B.build_dpd_fluid,
         "patchy": B.build_patchy,
         "droplet": B.build_droplet,
+        "headline": lambda: B.build_sim()[0],
     }
     for w in which:
         roofline(w, builders[w])

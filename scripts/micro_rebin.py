@@ -122,6 +122,24 @@ def main():
 
         return jax.lax.fori_loop(0, nn, body, jnp.int32(0))
 
+    C = spec.n_cells
+    cid_s0 = jnp.sort(
+        D._cell_id(dense.position[:, 0], dense.position[:, 1],
+                   dense.position[:, 2], dense.box, spec.dims)
+    )
+
+    def make_ss(method):
+        @jax.jit
+        def ss(cid_s, nn):
+            def body(i, x):
+                q = jnp.arange(C + 1, dtype=jnp.int32) + (i - i)
+                st = jnp.searchsorted(cid_s + i - i, q, method=method)
+                return x + st[0].astype(jnp.int32)
+
+            return jax.lax.fori_loop(0, nn, body, jnp.int32(0))
+
+        return ss
+
     @jax.jit
     def cellid_only(d, nn):
         def body(i, x):
@@ -142,6 +160,8 @@ def main():
     timeit("wrap", wrap_only, dense, iters=iters)
     timeit("cell_id", cellid_only, dense, iters=iters)
     timeit("cummax", cummax_only, dense, iters=iters)
+    timeit("searchsorted scan", make_ss("scan"), cid_s0, iters=iters)
+    timeit("searchsorted sort", make_ss("sort"), cid_s0, iters=iters)
 
     import os
 
