@@ -215,6 +215,16 @@ class GSDWriter:
         )
 
     def end_frame(self) -> None:
+        # the GSD v2 reference reader binary-searches the index on
+        # (frame, id): commit this frame's entries in ascending name-id
+        # order, not write_chunk call order, so a name introduced
+        # mid-stream stays findable by the C library. Frames commit in
+        # increasing order, so the whole in-memory index stays
+        # (frame, id)-sorted and disk order keeps matching memory order.
+        tail = sorted(
+            self._index[self._n_committed:], key=lambda e: (e[0], e[4])
+        )
+        self._index[self._n_committed:] = tail
         self._frame += 1
         self._commit()
 
@@ -246,7 +256,12 @@ class GSDWriter:
         # --- namelist ---
         raw = b"".join(n.encode() + b"\x00" for n in self._names)
         if len(raw) > self._names_committed:
-            segs = self._name_segs
+            # start doubling from at least one segment: a legacy/foreign
+            # file with namelist_location == 0 resumes with _name_segs == 0,
+            # and 0 * 2 == 0 would loop forever (and name_loc == 0 must
+            # relocate to the tail, never append over the header) — same
+            # guard the index branch applies with max(self._index_cap, 1)
+            segs = max(self._name_segs, 1)
             while len(raw) > segs * _NAME_SIZE:
                 segs *= 2
             if segs != self._name_segs:  # relocate doubled slab to tail
@@ -265,6 +280,10 @@ class GSDWriter:
             cap = max(self._index_cap, 1)
             while len(self._index) > cap:
                 cap *= 2
+            # a relocation rewrites every entry into fresh space: the one
+            # chance to (frame, id)-sort entries inherited from a foreign
+            # appended file (ours are already sorted; see end_frame)
+            self._index.sort(key=lambda e: (e[0], e[4]))
             self._index_loc = self._data_pos
             self._index_cap = cap
             self._f.seek(self._index_loc)

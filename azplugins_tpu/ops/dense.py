@@ -181,13 +181,19 @@ class GridSpec:
         cap = min(cap, N) if N > 0 else 8
         return cls(dims=dims, cap=max(cap, 1), r_cut=float(r_cut), buffer=eff_buffer)
 
-    def grow(self) -> "GridSpec":
+    def grow(self, gentle: bool = False) -> "GridSpec":
         # 1.25x (rounded up to 8) balances recompile count against the
-        # cap^2 cost of oversized cells
-        new_cap = int(math.ceil(self.cap * 1.25 / 8.0) * 8)
+        # cap^2 cost of oversized cells; ``gentle`` adds one 8-slot
+        # sublane quantum instead (post-tune fluctuations need exactly
+        # one — see Simulation._grow_and_rebuild)
+        new_cap = (
+            self.cap + 8
+            if gentle
+            else max(int(math.ceil(self.cap * 1.25 / 8.0) * 8), self.cap + 8)
+        )
         return GridSpec(
             dims=self.dims,
-            cap=max(new_cap, self.cap + 8),
+            cap=new_cap,
             r_cut=self.r_cut,
             buffer=self.buffer,
         )

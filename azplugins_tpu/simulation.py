@@ -880,7 +880,26 @@ class Simulation:
         max_occ = int(np.bincount(cid, minlength=spec.n_cells).max())
         return int(math.ceil((max_occ + slack) / 8.0) * 8)
 
-    def tune_cell_capacity(self, slack: int = 8, safety: float = 1.0):
+    def _interval_from_vmax(self, velocity, safety: float = 1.0) -> int | None:
+        """Rebuild-interval estimate from the fastest particle.
+
+        The Verlet margin is consumed at <= vmax*dt per step and the
+        drift criterion is pairwise (max1 + max2 > buffer,
+        ops/dense.needs_rebin), so the conservative per-particle margin
+        is half the buffer. vmax is the full velocity norm — a component
+        max would underestimate by sqrt(3). Returns None when no estimate
+        exists (dt == 0 or a velocity-free state).
+        """
+        if self._grid_spec is None:
+            return None
+        vmax = float(jnp.sqrt(jnp.sum(velocity * velocity, axis=-1).max()))
+        dt = self.dt_ref()
+        if vmax <= 0 or dt <= 0:
+            return None
+        margin = 0.5 * self._grid_spec.buffer
+        return max(1, min(50, int(margin / (vmax * dt * safety))))
+
+    def tune_cell_capacity(self, slack: int = 0, safety: float = 1.0):
         """Right-size the cell capacity and rebuild interval.
 
         Pair work scales with cap^2, and transient overflow growth (e.g. a
@@ -891,21 +910,24 @@ class Simulation:
         HOOMD's neighbor-list tuning. Costs one recompile. (An explicit
         tune changes the rebuild schedule, so trajectories are
         chunking-reproducible between tunes, not across them.)
+
+        ``slack`` defaults to 0 (cap = the 8-multiple above the measured
+        max occupancy): measured +9.6% on the 64k headline vs slack 8
+        (scripts/sweep_slack.py, BENCH.md round-4 cap-slack sweep). The
+        overflow risk a fluctuation carries is bounded by the post-tune
+        gentle-regrow policy: the first grow after a tune adds one 8-slot
+        sublane quantum (back to the old slack-8 sizing at worst), not
+        the 1.25x melt-time growth factor. One fluctuation therefore
+        costs one recompile and lands exactly where the conservative
+        default used to sit.
         """
         self._auto_tuned = True  # a manual tune supersedes the scheduled one
         if self._grid_spec is None or self._state is None:
             return
         state = self._synced_state()
         spec = self._grid_spec
-        # rebuild interval from the fastest particle: the Verlet margin
-        # is consumed at <= vmax*dt per step (vmax = max speed, the full
-        # velocity norm — a component max would underestimate by sqrt(3))
-        vel = np.asarray(state.velocity)
-        vmax = float(np.sqrt((vel * vel).sum(axis=-1).max())) if vel.size else 0.0
-        dt = self.dt_ref()
-        if vmax > 0 and dt > 0:
-            margin = 0.5 * spec.buffer
-            est = max(1, min(50, int(margin / (vmax * dt * safety))))
+        est = self._interval_from_vmax(state.velocity, safety)
+        if est is not None:
             self._seg_len = est
             # the vmax-derived interval is also the best guess for the
             # adaptive ceiling: regrowth past it would just trigger a
@@ -935,10 +957,19 @@ class Simulation:
         return float(integ.dt) if integ is not None else 0.0
 
     def _grow_and_rebuild(self):
-        """Grow slot capacity until the current configuration fits."""
+        """Grow slot capacity until the current configuration fits.
+
+        Before the post-warmup tune, growth is geometric (1.25x — the
+        melt transient can be far above the initial sizing and each step
+        costs a recompile). After a tune the cap sits one 8-slot quantum
+        above the measured equilibrated max occupancy (slack 0), so an
+        occupancy fluctuation needs exactly one more sublane: grow
+        gently (+8), landing where the old conservative slack-8 default
+        used to — not 1.25x past it.
+        """
         state = self._synced_state()
         for _ in range(8):
-            self._grid_spec = self._grid_spec.grow()
+            self._grid_spec = self._grid_spec.grow(gentle=self._auto_tuned)
             self._build_runner()
             self._dense, self._meta = _densify_jit(
                 state, spec=self._grid_spec, fields=self._fields,
@@ -1147,6 +1178,26 @@ class Simulation:
                 P = coup.srd.period
                 while P % seg_base != 0:
                     seg_base -= 1
+                if seg_base * 2 <= self._seg_len and not getattr(
+                    self, "_warned_divisor_collapse", False
+                ):
+                    # a period with no divisor near the adapted interval
+                    # (e.g. a prime period) silently snaps to a tiny
+                    # divisor — per-step or near-per-step rebuilds, a
+                    # large invisible performance cliff. Surface it once.
+                    import warnings
+
+                    self._warned_divisor_collapse = True
+                    warnings.warn(
+                        f"in-graph MPCD coupling: collision period {P} has "
+                        f"no divisor near the adapted rebuild interval "
+                        f"{self._seg_len}, so rebuilds snap to every "
+                        f"{seg_base} step(s). Choose a collision period "
+                        "with divisors near the natural rebuild interval "
+                        "(or a composite period) to avoid the extra "
+                        "rebuild cost.",
+                        stacklevel=2,
+                    )
             off = self._timestep % seg_base
             rebin_first = off == 0
             if off:
@@ -1189,14 +1240,28 @@ class Simulation:
             if bool(violated):
                 if seg_arg > 1:
                     # a particle out-drifted the Verlet margin inside a
-                    # segment: halve the rebuild interval and replay
-                    # (seg_len == 1 rebuilds every step and is always valid).
-                    # Remember the violating interval so regrowth stops
-                    # short of it (the ceiling itself relaxes slowly).
-                    self._seg_ceiling = max(1, self._seg_len - 1)
+                    # segment: re-derive the interval from the CURRENT
+                    # peak speed (the same estimator the post-warmup tune
+                    # uses) and replay. The old policy (halve + pin the
+                    # ceiling at seg_len - 1 with 10-quanta relaxation)
+                    # let one transient violation trap DPD ~20-40% below
+                    # its measured optimum for thousands of steps
+                    # (VERDICT r4 #3). The estimate reads the restored
+                    # trajectory state at an absolute schedule point, so
+                    # bitwise chunking-invariance holds. seg_len == 1
+                    # rebuilds every step and is always valid.
+                    est = self._interval_from_vmax(backup_dense.velocity)
+                    if est is None:
+                        est = max(self._seg_len // 2, 1)
+                    # the violated interval is measured-invalid right now:
+                    # never exceed seg_len - 1 on the replay, but let the
+                    # ceiling regrow to the estimate (one +1 per clean
+                    # quantum) instead of pinning below it
+                    new_seg = max(1, min(self._seg_len - 1, est))
+                    self._seg_ceiling = max(new_seg, min(est, 50))
                     self._clean_quanta = 0
                     self._dense, self._meta = backup_dense, backup_meta
-                    self._seg_len = max(self._seg_len // 2, 1)
+                    self._seg_len = new_seg
                     self._realign = True
                     continue
                 # seg_len == 1: a particle crossed more than the full

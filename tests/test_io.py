@@ -480,3 +480,70 @@ def test_gsd_append_crash_safety(tmp_path):
     with GSDReader(path) as r:
         assert r.n_frames == 41
         assert int(r.read_chunk(40, "configuration/step")[0]) == 40
+
+
+def test_gsd_append_zero_namelist_legacy(tmp_path):
+    """Appending to a legacy/foreign GSD whose header has
+    namelist_location == 0 (no names committed yet) must not hang: the
+    namelist-doubling loop used to start from _name_segs == 0 and spin
+    forever (round-4 advisor finding). The first commit relocates a
+    fresh namelist slab to the tail instead."""
+    import struct
+
+    from azplugins_tpu.io.gsd import _HEADER, GSDReader, GSDWriter
+
+    path = str(tmp_path / "legacy.gsd")
+    # a structurally valid zero-frame GSD v2 file with no namelist
+    with GSDWriter(path) as w:
+        pass
+    with open(path, "r+b") as f:
+        hdr = bytearray(f.read(_HEADER.size))
+        # zero out namelist location (field 4) and segment count (field 5)
+        vals = list(_HEADER.unpack(bytes(hdr)))
+        vals[3] = 0  # name_loc
+        vals[4] = 0  # n_seg
+        f.seek(0)
+        f.write(_HEADER.pack(*vals))
+
+    with GSDWriter(path, mode="a") as w:
+        w.write_chunk("configuration/step", np.asarray([7], np.uint64))
+        w.end_frame()  # used to hang here
+    with GSDReader(path) as r:
+        assert r.n_frames == 1
+        assert int(r.read_chunk(0, "configuration/step")[0]) == 7
+
+
+def test_gsd_index_sorted_by_name_id(tmp_path):
+    """Within each frame, index entries commit in ascending name-id order
+    regardless of write_chunk call order — the GSD v2 C reader
+    binary-searches on (frame, id), so unsorted entries can be unfindable
+    (round-4 advisor finding). Checked on the raw on-disk index."""
+    from azplugins_tpu.io.gsd import _HEADER, _INDEX_ENTRY, GSDReader, GSDWriter
+
+    path = str(tmp_path / "sorted.gsd")
+    with GSDWriter(path) as w:
+        # frame 0 introduces names in call order (ids 0, 1)
+        w.write_chunk("alpha", np.asarray([1], np.uint32))
+        w.write_chunk("beta", np.asarray([2], np.uint32))
+        w.end_frame()
+        # frame 1 introduces a NEW name first (id 2), then writes older
+        # ids — call order (2, 0, 1) must commit as (0, 1, 2)
+        w.write_chunk("gamma", np.asarray([3], np.uint32))
+        w.write_chunk("alpha", np.asarray([4], np.uint32))
+        w.write_chunk("beta", np.asarray([5], np.uint32))
+        w.end_frame()
+
+    with open(path, "rb") as f:
+        (_m, index_loc, n_idx, *_rest) = _HEADER.unpack(f.read(_HEADER.size))
+        f.seek(index_loc)
+        disk = []
+        for _ in range(n_idx):
+            e = _INDEX_ENTRY.unpack(f.read(_INDEX_ENTRY.size))
+            if e[2] != 0:
+                disk.append((e[0], e[4]))  # (frame, name id)
+    assert disk == sorted(disk)
+    # and every chunk stays readable
+    with GSDReader(path) as r:
+        assert int(r.read_chunk(1, "gamma")[0]) == 3
+        assert int(r.read_chunk(1, "alpha")[0]) == 4
+        assert int(r.read_chunk(1, "beta")[0]) == 5

@@ -172,22 +172,25 @@ def test_run_zero_then_observables(two_particle_snapshot_factory, simulation_fac
 
 
 def test_violation_halving_settles_not_cascades(lattice_snapshot_factory):
-    """A Verlet-drift violation halves the rebuild interval ONCE per
-    genuine violation. The replay's unaligned prefix must run with
-    per-step rebuilds: replaying it as a no-rebin continuation against
-    the restored (pre-halving) rebuild reference re-violates immediately
-    and cascades the interval all the way to 1 (regression: observed on
-    the droplet-evaporation benchmark, interval 23 -> 1)."""
+    """A Verlet-drift violation re-derives the rebuild interval from the
+    current peak speed ONCE per genuine violation. The replay's unaligned
+    prefix must run with per-step rebuilds: replaying it as a no-rebin
+    continuation against the restored (pre-adjustment) rebuild reference
+    re-violates immediately and cascades the interval all the way to 1
+    (regression: observed on the droplet-evaporation benchmark, interval
+    23 -> 1)."""
     # idle lattice + one ballistic particle drifting 0.0355/step against
     # the grid's claimed margin of 0.5 (cell width 3.0 - r_cut 2.5; the
     # grid absorbs the rounding slack into the buffer). With 7-step run()
     # chunks on a 16-step schedule the drift first exceeds the margin at
     # step 14 (15 drifts = 0.5325) — inside the chunk [14,16) that starts
     # 14 steps past the segment's rebuild reference. The replay of that
-    # chunk at the halved interval starts unaligned (14 % 8 = 6): a
-    # no-rebin continuation re-measures the same stale drift and cascades
-    # (16 -> 8 -> 4 -> 2); the per-step-rebuild prefix settles at 8.
-    # An 8-step segment consumes 0.284 — clean thereafter.
+    # chunk at the re-derived interval starts unaligned: a no-rebin
+    # continuation re-measures the same stale drift and cascades toward
+    # 1; the per-step-rebuild prefix settles at the vmax estimate
+    # 0.25 / (7.1 * 0.005) = 7 (the pairwise drift criterion reserves
+    # half the buffer per particle). A 7-step segment consumes 0.249 —
+    # clean thereafter.
     snap = lattice_snapshot_factory(n=4, a=3.0)
     snap.particles.velocity[0] = [7.1, 0.0, 0.0]
     sim = az.Simulation(seed=3)
@@ -205,9 +208,10 @@ def test_violation_halving_settles_not_cascades(lattice_snapshot_factory):
     sim._seg_ceiling = 16
     sim._seg_adapt = False
     # odd chunking leaves the violation chunk start unaligned to the
-    # halved schedule, which is what triggered the cascade
+    # re-derived schedule, which is what triggered the cascade
     for _ in range(12):
         sim.run(7)
-    assert sim._seg_len == 8, (
-        f"interval cascaded to {sim._seg_len}; expected to settle at 8"
+    assert sim._seg_len == 7, (
+        f"interval cascaded to {sim._seg_len}; expected to settle at the "
+        "vmax estimate 7"
     )
