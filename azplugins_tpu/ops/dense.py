@@ -207,6 +207,8 @@ class GridMeta:
     slot_of: jnp.ndarray  # [N] slot index of each tag
     overflow: jnp.ndarray  # bool
     n_builds: jnp.ndarray  # int32
+    max_occ: jnp.ndarray  # int32 — max cell occupancy seen since densify
+    # (0 = unknown; lets overflow growth size the new cap in one jump)
 
 
 # ---------------------------------------------------------------------------
@@ -415,6 +417,10 @@ def _global_assembly(packed_in, cid, n, spec: "GridSpec", layout: tuple,
     counts = start[1:] - start[:-1]  # [C]
     # start[C] = total valid rows; > head would truncate real particles
     overflow = jnp.any(counts > cap) | (start[C] > head)
+    # exact max occupancy: on overflow the caller can size the grown cap
+    # in ONE jump instead of walking 1.25x rungs (one ~100 s chunk
+    # recompile per rung on chip — Simulation._grow_and_rebuild)
+    max_occ = jnp.max(counts)
 
     # slot-side source rows: slot (c, r) <- sorted row start[c] + r
     rank_b = jax.lax.broadcasted_iota(jnp.int32, (C, cap), 1)
@@ -434,11 +440,11 @@ def _global_assembly(packed_in, cid, n, spec: "GridSpec", layout: tuple,
         src_in = jnp.take(perm_pad, src)  # [S] narrow index gather
         packed_pad = jnp.concatenate([packed_in, default_row], axis=0)
         out = jnp.take(packed_pad, src_in, axis=0)
-        return out, valid_slot.reshape(S), overflow
+        return out, valid_slot.reshape(S), overflow, max_occ
     packed_sorted = jnp.take(packed_in, perm[:head], axis=0)
     packed_pad = jnp.concatenate([packed_sorted, default_row], axis=0)
     out = jnp.take(packed_pad, src, axis=0)  # [S, K] row gather
-    return out, valid_slot.reshape(S), overflow
+    return out, valid_slot.reshape(S), overflow, max_occ
 
 
 def _incremental_ok(spec: "GridSpec") -> bool:
@@ -534,7 +540,9 @@ def _incremental_assembly(packed, cid, valid, spec: "GridSpec", layout: tuple,
         # a real member pushed past cap = the cell overflowed (same
         # truncation the global path applies: cap smallest input rows win)
         ovf = jnp.any(rows_s[:, cap:] < BIG)
-        return out, isreal.reshape(S), ovf
+        # exact per-cell need: stays + arrivals (cnt_m <= Mc inside incr)
+        max_occ = jnp.max(jnp.sum(stay2.astype(jnp.int32), axis=1) + cnt_m)
+        return out, isreal.reshape(S), ovf, max_occ
 
     def glob(_):
         return _global_assembly(packed, cid, S, spec, layout, n_valid)
@@ -577,11 +585,11 @@ def _bin_to_slots(
     packed_in = _pack_payload(state, layout)  # [n, K] int32 (floats bitcast)
     if incremental and n == S and _incremental_ok(spec):
         # slot-ordered input (rebin): migrant-local path, bitwise-equal
-        out, valid_slot, overflow = _incremental_assembly(
+        out, valid_slot, overflow, max_occ = _incremental_assembly(
             packed_in, cid, valid, spec, layout, N_tags
         )
     else:
-        out, valid_slot, overflow = _global_assembly(
+        out, valid_slot, overflow, max_occ = _global_assembly(
             packed_in, cid, n, spec, layout, N_tags
         )
 
@@ -610,6 +618,7 @@ def _bin_to_slots(
         slot_of=slot_of,
         overflow=overflow,
         n_builds=jnp.int32(1),
+        max_occ=max_occ,
     )
     return dense, meta
 
@@ -628,6 +637,7 @@ def rebin(dense: State, meta: GridMeta, spec: GridSpec, N_tags: int,
     new_meta = new_meta.replace(
         overflow=new_meta.overflow | meta.overflow,
         n_builds=meta.n_builds + 1,
+        max_occ=jnp.maximum(new_meta.max_occ, meta.max_occ),
     )
     return new_dense, new_meta
 

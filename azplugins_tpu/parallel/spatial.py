@@ -223,6 +223,10 @@ def spatial_rebin(
         start = start.astype(jnp.int32)
         counts = start[1:] - start[:-1]
         overflow = jnp.any(counts > cap) | ov_mig | jnp.any(lost)
+        # exact need is unknowable when migrants were dropped (lost) or a
+        # hop buffer overflowed; report what this shard saw — the caller
+        # treats it as a lower bound
+        max_occ = jnp.max(counts)
 
         rank_b = jax.lax.broadcasted_iota(jnp.int32, (C_loc, cap), 1)
         src = start[:C_loc, None] + rank_b
@@ -239,15 +243,15 @@ def spatial_rebin(
             valid_slot.reshape(S_loc), out[:, 0].view(jnp.float32), sent_x
         )
         out = jnp.concatenate([x.view(jnp.int32)[:, None], out[:, 1:]], axis=1)
-        return out, overflow[None]
+        return out, overflow[None], max_occ[None]
 
     from jax import shard_map
 
-    out, ovf = shard_map(
+    out, ovf, mocc = shard_map(
         shard_body,
         mesh=mesh,
         in_specs=(P(axis), P(axis), P(), P()),
-        out_specs=(P(axis), P(axis)),
+        out_specs=(P(axis), P(axis), P(axis)),
     )(packed, cid, Lx_g, stride_g)
 
     new_dense = D._state_from_payload(out, layout, dense, dense.box)
@@ -264,5 +268,6 @@ def spatial_rebin(
         slot_of=slot_of,
         overflow=jnp.any(ovf) | meta.overflow,
         n_builds=meta.n_builds + 1,
+        max_occ=jnp.maximum(jnp.max(mocc), meta.max_occ),
     )
     return new_dense, new_meta

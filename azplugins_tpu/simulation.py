@@ -388,6 +388,10 @@ class Simulation:
         return SimContext(dt=dt, seed=self.seed)
 
     def _build_runner(self):
+        # diagnostic: each build retraces (and usually recompiles) the
+        # chunk runner — bench.py reports this count per config so compile
+        # churn shows up in the committed artifact (VERDICT r4 weak #2)
+        self._runner_builds = getattr(self, "_runner_builds", 0) + 1
         integ = self.operations.integrator
         methods = integ.methods if integ is not None else []
         forces = self._forces()
@@ -767,6 +771,7 @@ class Simulation:
             slot_of=jnp.arange(n, dtype=jnp.int32),
             overflow=jnp.asarray(False),
             n_builds=jnp.int32(0),
+            max_occ=jnp.int32(0),
         )
 
     def _ensure_dense(self):
@@ -782,7 +787,7 @@ class Simulation:
             need_slot_of=state.n_bonds > 0,
         )
         if bool(self._meta.overflow):
-            self._grow_and_rebuild()
+            self._grow_and_rebuild(int(self._meta.max_occ))
         self._place_spatial()
 
     def _place_spatial(self):
@@ -956,18 +961,35 @@ class Simulation:
         integ = self.operations.integrator
         return float(integ.dt) if integ is not None else 0.0
 
-    def _grow_and_rebuild(self):
+    def _grow_and_rebuild(self, needed: int = 0):
         """Grow slot capacity until the current configuration fits.
 
-        Before the post-warmup tune, growth is geometric (1.25x — the
-        melt transient can be far above the initial sizing and each step
-        costs a recompile). After a tune the cap sits one 8-slot quantum
-        above the measured equilibrated max occupancy (slack 0), so an
-        occupancy fluctuation needs exactly one more sublane: grow
-        gently (+8), landing where the old conservative slack-8 default
-        used to — not 1.25x past it.
+        ``needed`` is the failed chunk's recorded max cell occupancy
+        (GridMeta.max_occ — exact, observed at every rebin of the chunk
+        that overflowed). Before the post-warmup tune the new cap jumps
+        STRAIGHT there (+ melt headroom): walking up geometrically costs
+        one ~100 s chunk recompile per 1.25x rung on chip (measured: the
+        DPD melt walked cap 16->24->32->40 for 573 s of the round-4 bench
+        warmup — BENCH.md round-5). One sized jump replaces the walk.
+        After a tune the cap sits one 8-slot quantum above the measured
+        equilibrated max occupancy (slack 0), so an occupancy fluctuation
+        needs exactly one more sublane: grow gently (+8), landing where
+        the old conservative slack-8 default used to — not 1.25x past it.
         """
         state = self._synced_state()
+        if not self._auto_tuned and needed > self._grid_spec.cap:
+            # melt headroom: occupancy is still rising when the overflow
+            # fires, so land one 8-slot quantum above the observed need
+            cap = int(math.ceil((needed + 8) / 8.0) * 8)
+            self._grid_spec = self._grid_spec.replace(cap=cap)
+            self._build_runner()
+            self._dense, self._meta = _densify_jit(
+                state, spec=self._grid_spec, fields=self._fields,
+                need_slot_of=state.n_bonds > 0,
+            )
+            if not bool(self._meta.overflow):
+                self._place_spatial()
+                return
         for _ in range(8):
             self._grid_spec = self._grid_spec.grow(gentle=self._auto_tuned)
             self._build_runner()
@@ -1230,11 +1252,13 @@ class Simulation:
             else:
                 dense, meta, violated = out
             if self._grid_spec is not None and bool(meta.overflow):
-                # transactional replay with grown capacity
+                # transactional replay with grown capacity, sized by the
+                # failed chunk's recorded max occupancy
+                needed = int(meta.max_occ)
                 self._dense, self._meta = backup_dense, backup_meta
                 self._state_stale = True
                 self._synced_state()
-                self._grow_and_rebuild()
+                self._grow_and_rebuild(needed)
                 tbls = self._force_tables()
                 continue
             if bool(violated):
@@ -1250,19 +1274,33 @@ class Simulation:
                     # trajectory state at an absolute schedule point, so
                     # bitwise chunking-invariance holds. seg_len == 1
                     # rebuilds every step and is always valid.
-                    est = self._interval_from_vmax(backup_dense.velocity)
+                    #
+                    # The violation path uses safety 1.5: a violation is
+                    # direct evidence the instantaneous-vmax estimate was
+                    # optimistic HERE (evolving systems — a compressing
+                    # droplet, a relaxing melt — accelerate between the
+                    # measurement and the drift). With safety 1.0 the
+                    # replay lands at est ~ seg_len and shrinks by 1 per
+                    # violation: a slow -1 walk paying a full chunk
+                    # replay per rung, which doubled the droplet/polymer
+                    # step cost in the round-5 first capture (373/231 TPS
+                    # vs 763/524 in r04). The optimistic est still sets
+                    # the regrowth ceiling, so steady-state systems (DPD)
+                    # climb back to their true optimum within quanta.
+                    est = self._interval_from_vmax(
+                        backup_dense.velocity, safety=1.5
+                    )
+                    est_opt = self._interval_from_vmax(backup_dense.velocity)
                     if est is None:
                         est = max(self._seg_len // 2, 1)
-                    # the violated interval is measured-invalid right now:
-                    # never exceed seg_len - 1 on the replay, but let the
-                    # ceiling regrow to the estimate (one +1 per clean
-                    # quantum) instead of pinning below it
+                        est_opt = est
                     new_seg = max(1, min(self._seg_len - 1, est))
-                    self._seg_ceiling = max(new_seg, min(est, 50))
+                    self._seg_ceiling = max(new_seg, min(est_opt, 50))
                     self._clean_quanta = 0
                     self._dense, self._meta = backup_dense, backup_meta
                     self._seg_len = new_seg
                     self._realign = True
+                    self._viol_replays = getattr(self, "_viol_replays", 0) + 1
                     continue
                 # seg_len == 1: a particle crossed more than the full
                 # buffer in ONE step; forces this chunk may have used a

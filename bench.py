@@ -64,6 +64,45 @@ def sync_scalar(x):
     np.asarray(x[(0,) * x.ndim])
 
 
+def _enable_compile_cache():
+    """Persistent XLA compile cache (same as tests/conftest.py).
+
+    Chunk-runner variants cost ~60-100 s EACH to compile through the
+    relay (the round-4 capture spent 895 s warming DPD alone on melt
+    grow-and-replay recompiles); with the on-disk cache every invocation
+    after the first warms in seconds. The cache key covers the HLO and
+    compile options, so stale hits cannot change results."""
+    import jax
+
+    d = os.environ.get(
+        "AZTPU_CACHE_DIR",
+        os.path.join(os.path.dirname(os.path.abspath(__file__)), ".jax_cache"),
+    )
+    try:
+        os.makedirs(d, exist_ok=True)
+        jax.config.update("jax_compilation_cache_dir", d)
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 2.0)
+    except Exception as e:  # pragma: no cover - version drift
+        _stage(f"compile cache unavailable: {e}")
+
+
+def _perf_extras(sim):
+    """Compile/churn provenance for the JSON artifact (VERDICT r4)."""
+    from azplugins_tpu.ops import pallas_pair as PP
+
+    cap = sim._grid_spec.cap if sim._grid_spec is not None else None
+    return {
+        "cap": cap,
+        "subtile_h": (
+            PP.subtile_h(cap) if cap and PP.pallas_mode() == "compiled" else None
+        ),
+        "runner_builds": getattr(sim, "_runner_builds", 0),
+        # violation replays re-run a whole chunk: a nonzero count during
+        # the timed window means the recorded ms/step carries replay work
+        "viol_replays": getattr(sim, "_viol_replays", 0),
+    }
+
+
 def build_sim(N_side=40, rho=0.85, seed=12345):
     import azplugins_tpu as az
 
@@ -403,8 +442,9 @@ def bench_extras():
             sim.auto_tune_after = 150
             sim.run(250)  # compile + warm + auto-tune + settle
             sim._seg_adapt = False
+            warm_s = time.perf_counter() - t0
             _stage(f"{name}: N={sim._synced_state().N} warm in "
-                   f"{time.perf_counter()-t0:.1f}s cap={sim._grid_spec.cap}")
+                   f"{warm_s:.1f}s cap={sim._grid_spec.cap}")
             ms = time_steps(sim, 60, 300)
             thermo = az.compute.ThermodynamicQuantities()
             sim.operations.computes.append(thermo)
@@ -415,6 +455,8 @@ def bench_extras():
                 "ms_per_step": round(ms, 3),
                 "rebuild_interval": sim._seg_len,
                 "kinetic_temperature": round(float(thermo.kinetic_temperature), 3),
+                "warm_s": round(warm_s, 1),
+                **_perf_extras(sim),
             }
             _stage(f"{name}: {line['value']} TPS")
         except Exception as e:  # pragma: no cover - defensive
@@ -499,9 +541,11 @@ def bench_mpcd_coupled():
     sim.mpcd_dynamics = srd
     sim.operations.updaters.append(az.mpcd.CollisionCoupling(srd))
     sim.auto_tune_after = 150
+    t0 = time.perf_counter()
     sim.run(260)  # compile + warm + auto-tune + settle (13 collisions)
     sim._seg_adapt = False
-    _stage(f"mpcd_coupled: N_c={N_c} N_s={N_s} warm done; "
+    warm_s = time.perf_counter() - t0
+    _stage(f"mpcd_coupled: N_c={N_c} N_s={N_s} warm in {warm_s:.1f}s; "
            f"ingraph={sim.operations.updaters[0]._ingraph}")
     ms = time_steps(sim, 100, 400)
     v_s = np.asarray(sim._mpcd["velocity"])
@@ -517,6 +561,8 @@ def bench_mpcd_coupled():
             "collisions_in_graph": bool(sim.operations.updaters[0]._ingraph),
             "solvent_drift_vx": round(float(v_s[:, 0].mean()), 4),
             "colloid_drift_vx": round(float(v_c[:, 0].mean()), 4),
+            "warm_s": round(warm_s, 1),
+            **_perf_extras(sim),
         },
     }), flush=True)
 
@@ -540,15 +586,30 @@ def main():
         }), flush=True)
         sys.exit(1)
 
+    _enable_compile_cache()
     if os.environ.get("BENCH_MPCD") == "1":
-        bench_mpcd()
-        bench_mpcd_coupled()
+        bench_mpcd()  # pure-SRD solvent throughput stays opt-in
+    if os.environ.get("BENCH_CONFIGS", "all") == "all":
+        # colloid hydrodynamics (coupled MPCD) is part of the DEFAULT set:
+        # it is the showcase composition of the MPCD touchpoints
+        # (/root/reference/src/VelocityFieldCompute.h:331-352) and must
+        # appear in the driver-captured artifact (VERDICT r4 #3)
+        try:
+            bench_mpcd_coupled()
+        except Exception as e:  # pragma: no cover - defensive
+            _stage(f"colloid_hydrodynamics FAILED: {type(e).__name__}: {e}")
+            print(json.dumps({
+                "metric": "timesteps_per_second_colloid_hydrodynamics",
+                "value": 0.0, "unit": "steps/s", "vs_baseline": None,
+                "extra": {"error": f"{type(e).__name__}: {e}"},
+            }), flush=True)
     bench_extras()  # configs 2-5 first; the headline line prints LAST
 
     t0 = time.perf_counter()
     sim, lj = build_sim(N_side=n_side)
     sim.auto_tune_after = warm_steps  # run() retunes itself post-warmup
     _stage(f"built sim N={n_side**3} in {time.perf_counter()-t0:.1f}s")
+    t_warm0 = time.perf_counter()
     t0 = time.perf_counter()
     pallas_failed = False
     try:
@@ -570,6 +631,7 @@ def main():
     # garbage (a replay inside one window made round-2's first TPS negative)
     sim.run(300)
     sim._seg_adapt = False
+    warm_s = time.perf_counter() - t_warm0
     _stage(f"tuned: cap={sim._grid_spec.cap} dims={sim._grid_spec.dims} "
            f"seg_len={sim._seg_len}")
 
@@ -618,6 +680,8 @@ def main():
             "rebuild_interval": sim._seg_len,
             "kinetic_temperature": round(float(kT), 3),
             "pallas_failed": pallas_failed,
+            "warm_s": round(warm_s, 1),
+            **_perf_extras(sim),
             **(
                 {"spatial_ms_per_step": round(spatial_ms, 3)}
                 if spatial_ms is not None

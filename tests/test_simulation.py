@@ -187,7 +187,9 @@ def test_violation_halving_settles_not_cascades(lattice_snapshot_factory):
     # 14 steps past the segment's rebuild reference. The replay of that
     # chunk at the re-derived interval starts unaligned: a no-rebin
     # continuation re-measures the same stale drift and cascades toward
-    # 1; the per-step-rebuild prefix settles at the vmax estimate
+    # 1; the per-step-rebuild prefix settles at the conservative
+    # (safety 1.5) vmax estimate 0.25 / (7.1 * 0.005 * 1.5) = 4, ceiling
+    # at the optimistic estimate
     # 0.25 / (7.1 * 0.005) = 7 (the pairwise drift criterion reserves
     # half the buffer per particle). A 7-step segment consumes 0.249 —
     # clean thereafter.
@@ -211,7 +213,15 @@ def test_violation_halving_settles_not_cascades(lattice_snapshot_factory):
     # re-derived schedule, which is what triggered the cascade
     for _ in range(12):
         sim.run(7)
-    assert sim._seg_len == 7, (
+    assert sim._seg_len == 4, (
         f"interval cascaded to {sim._seg_len}; expected to settle at the "
+        "conservative (safety 1.5) vmax estimate 4"
+    )
+    assert sim._seg_ceiling == 7, (
+        f"regrowth ceiling {sim._seg_ceiling}; expected the optimistic "
         "vmax estimate 7"
+    )
+    assert getattr(sim, "_viol_replays", 0) == 1, (
+        "exactly one violation replay expected; chronic replays mean the "
+        "re-derived interval is still optimistic"
     )
