@@ -98,14 +98,29 @@ def subtile_h(cap: int) -> int:
     blocking buys nothing (scripts/model_brick_blocks.py); measured on
     chip the step gains +11% (3.91 -> 3.53 ms — per-subtile fixed
     costs don't scale with H, so the eval saving is diluted).
-    Heuristic: H=8 when the 16-row quantum cannot amortize
-    (cap <= 24), else 16. AZTPU_SUBTILE_H overrides.
+
+    Round 5: H=24 measured on chip at the slack-0 headline (cap 48,
+    tight by construction — the post-tune cap sits one sublane quantum
+    above the equilibrated max occupancy, so occupancy ~ cap and the
+    skip quantum barely matters): kernel 0.750 -> 0.736 ms, step 0.950
+    -> 0.909 ms (1052 -> 1100 TPS, full default protocol). The same H
+    REGRESSED the dilute DPD grid (cap 24, mean occ 10: 24-row quantum
+    kills the skipping; 961.6 -> ~900 interval-adjusted), so H=24
+    applies only to pad-free dense caps: cap % 24 == 0 and cap > 24.
+
+    Heuristic: H=8 when the 16-row quantum cannot amortize (cap <= 24);
+    H=24 when cap is a >24 multiple of 24 (pad-free, tight post-tune
+    grids); else 16. AZTPU_SUBTILE_H overrides.
     """
     env = os.environ.get("AZTPU_SUBTILE_H")
     if env:
         h = int(env)
         return h if h % 8 == 0 else 8
-    return 8 if cap <= 24 else _SUBTILE_H_DEFAULT
+    if cap <= 24:
+        return 8
+    if cap % 24 == 0:
+        return 24
+    return _SUBTILE_H_DEFAULT
 
 
 def pad_cap(cap: int, h: int | None = None) -> int:

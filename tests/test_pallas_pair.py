@@ -602,3 +602,41 @@ def test_pallas_cell_padding(monkeypatch):
         np.asarray(got.force), np.asarray(ref.force),
         atol=2e-5 * scale, rtol=2e-5,
     )
+
+
+def test_pallas_subtile_24(monkeypatch):
+    """H=24 j-subtiles (the round-5 dense-tight-cap production choice,
+    cap 48 = 2 subtiles of 24): parity vs the XLA path, exercising the
+    multi-subtile triangle self-block (n_tri = cap_pad // H = 2) and
+    the 24-row skip quantum."""
+    rng = np.random.default_rng(3)
+    N, L = 400, 12.0
+    snap = az.Snapshot(N=N)
+    snap.configuration.box = [L, L, L, 0, 0, 0]
+    snap.particles.types = ["A"]
+    snap.particles.position[:] = (rng.random((N, 3)) - 0.5) * L
+    state, _, _ = state_from_snapshot(snap)
+    spec = D.GridSpec.create(state.box, N, r_cut=1.5, buffer=0.3)
+    spec48 = spec.replace(cap=48)  # pad-free for H=24: cap_pad = 48
+    dense, meta = D.densify(state, spec48)
+    assert not bool(meta.overflow)
+    tables, r_cut = _plj_tables()
+    ef = PAIR_POTENTIALS["PerturbedLennardJones"].energy_force
+
+    def run():
+        jb = D.make_jblocks(dense, spec48, half=True, need_typeid=False)
+        return D.dense_pair_force(
+            ef, dense, jb, spec48, tables, r_cut,
+            mode="none", want="force", masked=False,
+        )
+
+    monkeypatch.setenv("AZTPU_PALLAS", "0")
+    ref = run()
+    monkeypatch.setenv("AZTPU_PALLAS", "1")
+    monkeypatch.setenv("AZTPU_SUBTILE_H", "24")
+    got = run()
+    scale = np.abs(np.asarray(ref.force)).max()
+    np.testing.assert_allclose(
+        np.asarray(got.force), np.asarray(ref.force),
+        atol=2e-5 * scale, rtol=2e-5,
+    )
