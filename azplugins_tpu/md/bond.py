@@ -52,6 +52,7 @@ class Bond(Force):
             dense.bond_group,
             dense.bond_typeid,
             tbl["params"],
+            want=want,
         )
 
 

@@ -1552,7 +1552,7 @@ def _pallas_half_dpd_force(
 
         k0u = _u32(k0f)
         k1u = (_u32(hi16) << jnp.uint32(16)) | _u32(lo16)
-        x0, _ = _rng.threefry2x32(k0u, k1u, lo, hi)
+        x0, _ = _rng.threefry2x32(k0u, k1u, lo, hi, rounds=_rng.FAST_ROUNDS)
         alpha = _rng.uniform_from_bits(x0)
         f = jnp.where(inside, f_cons + f_drag + sig * w_R * alpha, 0.0)
         fx, fy, fz = f * dx, f * dy, f * dz
@@ -1664,7 +1664,8 @@ def dense_dpd_force(
         f_drag = -p["gamma"] * w_R * w_R * rdotv
 
         alpha = _rng.pair_uniform(
-            _rng.Stream.DPD_GENERAL_WEIGHT, seed, timestep, tag_i, tag_j
+            _rng.Stream.DPD_GENERAL_WEIGHT, seed, timestep, tag_i, tag_j,
+            rounds=_rng.FAST_ROUNDS,
         )
         sigma_coeff = jnp.where(
             dt_arr > 0, jnp.sqrt(6.0 * p["gamma"] * kT / jnp.maximum(dt_arr, 1e-20)), 0.0
@@ -2130,11 +2131,14 @@ def dense_bond_force(
     bond_group,
     bond_typeid,
     tables: dict,
+    want: str = "all",
 ):
     """Bond force in slot space: endpoints resolved via the tag->slot map.
 
     Bonds are O(N) gathers/scatters — the one place gathers remain; bond
     counts are typically << pair counts so this stays off the critical path.
+    With ``want="force"`` (the hot step loop) the energy and virial
+    scatter-adds — 7 of the 10 scattered words — are skipped entirely.
     """
     from .pair_force import ForceResult
 
@@ -2153,6 +2157,8 @@ def dense_bond_force(
     fx, fy, fz = f_divr * ddx, f_divr * ddy, f_divr * ddz
     fvec = jnp.stack([fx, fy, fz], axis=-1)
     force = jnp.zeros((S, 3), jnp.float32).at[a].add(fvec).at[b].add(-fvec)
+    if want == "force":
+        return ForceResult(force=force, energy=None, virial=None)
     energy = jnp.zeros((S,), jnp.float32).at[a].add(0.5 * e).at[b].add(0.5 * e)
     w = 0.5 * f_divr
     vir = jnp.stack(

@@ -231,7 +231,8 @@ def dpd_pair_force(
 
     # random: one symmetric uniform per (pair, timestep)
     alpha = _rng.pair_uniform(
-        _rng.Stream.DPD_GENERAL_WEIGHT, seed, timestep, tag[:, None], tag[j]
+        _rng.Stream.DPD_GENERAL_WEIGHT, seed, timestep, tag[:, None], tag[j],
+        rounds=_rng.FAST_ROUNDS,
     )
     kT = jnp.float32(kT)
     dt_arr = jnp.float32(dt)

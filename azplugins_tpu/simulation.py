@@ -1255,6 +1255,21 @@ class Simulation:
                 # transactional replay with grown capacity, sized by the
                 # failed chunk's recorded max occupancy
                 needed = int(meta.max_occ)
+                if not bool(jnp.isfinite(dense.position).all()):
+                    # Diverged trajectories (overlapping initial contacts,
+                    # too-large dt) produce non-finite positions; the rebin
+                    # then piles every particle into one cell and the
+                    # "needed" capacity explodes toward N, which can only
+                    # end in an unintelligible compiler OOM. Fail loudly at
+                    # the first overflow instead (the failure-detection
+                    # analog of HOOMD's particle-out-of-bounds error).
+                    raise RuntimeError(
+                        "simulation diverged: non-finite particle positions "
+                        f"at timestep ~{self._timestep} (cell overflow "
+                        f"requested capacity {needed}). Typical causes: "
+                        "overlapping initial coordinates, dt too large, or "
+                        "a potential evaluated inside its divergence."
+                    )
                 self._dense, self._meta = backup_dense, backup_meta
                 self._state_stale = True
                 self._synced_state()

@@ -59,6 +59,30 @@ class TestRNG:
         b = rng.pair_uniform(200, 11, 5, 17, 3)
         assert float(a) == float(b)
 
+    def test_known_answer_vs_jax(self):
+        # 20-round Threefry-2x32 must agree bitwise with jax.random's own
+        # implementation (same cipher, same round schedule).
+        from jax._src import prng as jprng
+
+        ref = jprng.threefry_2x32(
+            jnp.array([1, 2], dtype=jnp.uint32),
+            jnp.array([3, 4], dtype=jnp.uint32),
+        )
+        mine = rng.threefry2x32(
+            jnp.uint32(1), jnp.uint32(2), jnp.uint32(3), jnp.uint32(4)
+        )
+        assert int(mine[0]) == int(ref[0]) and int(mine[1]) == int(ref[1])
+
+    def test_fast_rounds_distinct_but_uniform(self):
+        # Threefry-2x32-13 (the DPD noise cipher) differs from the
+        # 20-round stream but keeps uniform statistics.
+        tags = jnp.arange(200000, dtype=jnp.uint32)
+        x20, _ = rng.threefry2x32(7, 0, tags, 0)
+        x13, _ = rng.threefry2x32(7, 0, tags, 0, rounds=rng.FAST_ROUNDS)
+        assert int((x20 != x13).sum()) > 199000
+        u = np.asarray(rng.uniform_from_bits(x13, -1.0, 1.0))
+        assert abs(u.mean()) < 0.01 and abs(u.var() - 1.0 / 3.0) < 0.01
+
     def test_particle_uniform3_shape(self):
         u = rng.particle_uniform3(210, 1, 0, jnp.arange(10))
         assert u.shape == (10, 3)

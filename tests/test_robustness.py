@@ -210,3 +210,40 @@ def test_force_removal_preserves_state(lattice_snapshot_factory):
         np.asarray(a.state.get_snapshot().particles.position),
         np.asarray(b.state.get_snapshot().particles.position),
     )
+
+
+def test_divergence_raises_clean_error():
+    """A blown-up trajectory must fail with a diagnostic, not a compiler OOM.
+
+    Near-overlapping pairs under a steep LJ produce inf forces -> NaN
+    positions; the rebin then piles every NaN particle into one cell and
+    the overflow grow would request capacity ~ N, which on TPU ends in an
+    unintelligible Mosaic VMEM OOM. The engine detects the non-finite
+    state at the first overflow and raises RuntimeError instead.
+    """
+    rng = np.random.default_rng(0)
+    L = 12.0
+    n_pairs = 32
+    centers = rng.uniform(-L / 2 + 1, L / 2 - 1, size=(n_pairs, 3))
+    pos = np.concatenate([centers, centers + 1e-4], axis=0)
+    snap = az.Snapshot(N=2 * n_pairs)
+    snap.configuration.box = [L, L, L, 0, 0, 0]
+    snap.particles.types = ["A"]
+    snap.particles.position[:] = pos
+    sim = az.Simulation(seed=1)
+    sim.create_state_from_snapshot(snap)
+    lj = az.pair.PerturbedLennardJones(
+        nlist=az.md.nlist.Cell(buffer=0.4), default_r_cut=2.5
+    )
+    lj.params[("A", "A")] = dict(
+        epsilon=1.0, sigma=1.0, attraction_scale_factor=1.0
+    )
+    sim.operations.integrator = az.md.Integrator(
+        dt=0.005,
+        methods=[az.md.methods.ConstantVolume()],
+        forces=[lj],
+    )
+    with pytest.raises(RuntimeError, match="diverged"):
+        # plenty of steps for the blow-up to reach the overflow path
+        for _ in range(40):
+            sim.run(10)
