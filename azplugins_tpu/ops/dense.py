@@ -71,6 +71,10 @@ class GridSpec:
     cap: int = static_field()  # slots per cell
     r_cut: float = static_field()
     buffer: float = static_field()
+    # j-subtile height for the Pallas pair kernel, chosen from the
+    # equilibrated occupancy block structure at tune time (see
+    # choose_subtile_h); None = pallas_pair.subtile_h(cap) heuristic
+    subtile: int | None = static_field(default=None)
 
     @property
     def n_cells(self) -> int:
@@ -1270,6 +1274,87 @@ def _cell_counts(dense: State, spec: GridSpec):
     )
 
 
+def choose_subtile_h(counts, spec: GridSpec, cell_block: int | None = None):
+    """Pick the Pallas j-subtile height from the occupancy block structure.
+
+    The kernel skips a j-subtile of a stencil-offset block only when the
+    whole CB-cell lane block has occupancy at or below the subtile's
+    first row (``jbound`` test in ops/pallas_pair.py), so H is the
+    work-skipping quantum and the right H depends on how occupancy
+    clusters across lane blocks — not on cap alone. A droplet's vapor
+    region is contiguous in cell-id order (whole blocks skippable: small
+    H wins); a homogeneous melt has mid-range occupancy in every block
+    (no skips: per-subtile fixed costs favor large H).
+
+    Exact structural counts per candidate H (scripts/model_subtile_h.py,
+    chip-calibrated 2026-08-20 — see BENCH.md "Occupancy-model subtile
+    choice"):
+
+      W(H) = sum_{blk,off} ceil(jb/H)*H * 8*n_igroups(blk)  pair-eval rows
+      G(H) = sum_{blk,off} ceil(jb/H) * n_igroups(blk)      i-group entries
+      P(H) = n_seg * pad_cap(cap, H) * C                    J elements built
+
+    modeled step cost ~ W + _SUBTILE_FIXED_ROWS*G + _PAD_TRAFFIC_ROWS*P:
+    each i-group entry inside an executed subtile pays a fixed cost
+    (x/y/z i-plane loads, accumulator select/update) equivalent to
+    ~_SUBTILE_FIXED_ROWS evaluated rows, and every padded J row costs
+    per-step stencil-block build traffic OUTSIDE the kernel
+    (_stencil_rows_t runs every force call) worth ~_PAD_TRAFFIC_ROWS
+    rows per element. Chip anchors (2026-08-20): the headline pins the
+    G coefficient (W and P flat across H at occ 37-45: measured
+    H16->H24 -0.041 ms against dG = -0.6k entries); droplet-H24 840.6
+    vs H8 958.8 TPS pins P from below (pad 32->48 swamps the G saving),
+    polymer-H16 585.3 vs H8 570.8 from above, dpd-H16 1038.5 vs H8
+    1069.8 tightens the lower bound. Minimizing reproduces all five
+    measured preferences (droplet H8, polymer H16, headline H24,
+    dpd H8, patchy H8).
+
+    Called once at tune time (host-side numpy); the choice lands in
+    ``GridSpec.subtile`` (static), so it costs one recompile with the
+    tune's own.
+    """
+    cap, C = spec.cap, spec.n_cells
+    CB = cell_block or int(os.environ.get("AZTPU_CELL_BLOCK", "0")) or (
+        256 if C >= 1024 else 128
+    )
+    offsets = spec.half_stencil()
+    cnt = np.asarray(counts, dtype=np.int64)
+    stc = np.asarray(
+        _stencil_counts(jnp.asarray(cnt, jnp.int32), spec, offsets)
+    ).astype(np.int64)
+    Cp = ((C + CB - 1) // CB) * CB
+    cnt = np.pad(cnt, (0, Cp - C))
+    stc = np.pad(stc, ((0, 0), (0, Cp - C)))
+    n_blocks = Cp // CB
+    ib = cnt.reshape(n_blocks, CB).max(axis=1)
+    jb = stc.reshape(stc.shape[0], n_blocks, CB).max(axis=2)
+    n_ig = np.minimum((ib + 7) // 8, (cap + 7) // 8)
+
+    n_seg = len(offsets) + 1
+
+    def cost(H):
+        nt = -(-jb // H)  # executed subtiles per (offset, block)
+        w = (nt * H * 8 * n_ig[None, :]).sum()
+        g = (nt * n_ig[None, :]).sum()
+        pad = ((cap + H - 1) // H) * H
+        return float(
+            w + _SUBTILE_FIXED_ROWS * g + _PAD_TRAFFIC_ROWS * n_seg * pad * C
+        )
+
+    # ties resolve to the smallest H (finest skip quantum)
+    return min((8, 16, 24), key=cost)
+
+
+# fixed cost of one i-group entry inside an executed j-subtile, in
+# evaluated-row equivalents; and per-step J-block build traffic per
+# padded element, same units (chip fit, scripts/model_subtile_h.py +
+# the five measured anchors in BENCH.md "Occupancy-model subtile
+# choice" — feasible region over all five anchors: FIXED in [30.5, 40],
+# PAD in [0.032, 0.060]; shipped values are the centroid)
+_SUBTILE_FIXED_ROWS = 37.0
+_PAD_TRAFFIC_ROWS = 0.044
+
+
 def _stencil_counts(counts, spec: GridSpec, offsets):
     """[1 + n_offsets, C] occupancy of each stencil offset's neighbor cell."""
     Dx, Dy, Dz = spec.dims
@@ -1323,7 +1408,7 @@ def _pallas_half_pair_force(
     C, cap = spec.n_cells, spec.cap
     offsets = spec.half_stencil()
     n_seg = len(offsets) + 1
-    cap_pad = PP.pad_cap(cap)
+    cap_pad = PP.pad_cap(cap, spec.subtile)
     T = r_cut_table.shape[0]
     keys = sorted(tables)
     nk = len(keys)
@@ -1443,7 +1528,7 @@ def _pallas_half_pair_force(
     fi, fj = PP.stencil_pair_force_kernel(
         eval_f, scalars, *its, *jts, counts, stc,
         cap_pad=cap_pad, extra_i=extra_i, extra_j=extra_j,
-        n_acc=_n_acc(want), cell_block=cb, interpret=interpret,
+        n_acc=_n_acc(want), cell_block=cb, interpret=interpret, subtile=spec.subtile,
     )
 
     Dx, Dy, Dz = spec.dims
@@ -1487,7 +1572,7 @@ def _pallas_half_dpd_force(
     C, cap = spec.n_cells, spec.cap
     offsets = spec.half_stencil()
     n_seg = len(offsets) + 1
-    cap_pad = PP.pad_cap(cap)
+    cap_pad = PP.pad_cap(cap, spec.subtile)
 
     T = r_cut_table.shape[0]
     kT_f = jnp.float32(kT)
@@ -1588,7 +1673,7 @@ def _pallas_half_dpd_force(
     fi, fj = PP.stencil_pair_force_kernel(
         eval_f, scalars, *its, *jts, counts, stc,
         cap_pad=cap_pad, extra_i=extra_i, extra_j=extra_j, n_acc=3,
-        cell_block=cb, interpret=interpret,
+        cell_block=cb, interpret=interpret, subtile=spec.subtile,
     )
 
     Dx, Dy, Dz = spec.dims
@@ -1846,7 +1931,7 @@ def _pallas_half_aniso_force(
     C, cap = spec.n_cells, spec.cap
     offsets = spec.half_stencil()
     n_seg = len(offsets) + 1
-    cap_pad = PP.pad_cap(cap)
+    cap_pad = PP.pad_cap(cap, spec.subtile)
     T = r_cut_table.shape[0]
     keys = sorted(tables)
     nk = len(keys)
@@ -1911,7 +1996,7 @@ def _pallas_half_aniso_force(
     fi, fj = PP.stencil_pair_force_kernel(
         eval_f, scalars, *its, *jts, counts, stc,
         cap_pad=cap_pad, extra_i=extra_i, extra_j=extra_j, n_acc=6,
-        cell_block=cb, interpret=interpret,
+        cell_block=cb, interpret=interpret, subtile=spec.subtile,
     )
 
     Dx, Dy, Dz = spec.dims

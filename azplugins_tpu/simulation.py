@@ -940,8 +940,18 @@ class Simulation:
             self._seg_ceiling = est
             self._clean_quanta = 0
         cap = self._max_occupancy_cap(state, spec, slack)
-        if cap != spec.cap:
-            self._grid_spec = spec.replace(cap=cap)
+        sub = spec.subtile
+        if self._dense is not None:
+            # choose the pair-kernel j-subtile height from the
+            # equilibrated occupancy block structure (exact work model —
+            # ops/dense.py choose_subtile_h); static, so a change rides
+            # the tune's own recompile
+            sub = D.choose_subtile_h(
+                np.asarray(D._cell_counts(self._dense, spec)),
+                spec.replace(cap=cap),
+            )
+        if cap != spec.cap or sub != spec.subtile:
+            self._grid_spec = spec.replace(cap=cap, subtile=sub)
             self._build_runner()
             self._drop_dense()
             self._prepared = False
@@ -981,7 +991,9 @@ class Simulation:
             # melt headroom: occupancy is still rising when the overflow
             # fires, so land one 8-slot quantum above the observed need
             cap = int(math.ceil((needed + 8) / 8.0) * 8)
-            self._grid_spec = self._grid_spec.replace(cap=cap)
+            # capacity growth invalidates a tuned subtile height (it may
+            # no longer divide the padded cap); revert to the heuristic
+            self._grid_spec = self._grid_spec.replace(cap=cap, subtile=None)
             self._build_runner()
             self._dense, self._meta = _densify_jit(
                 state, spec=self._grid_spec, fields=self._fields,

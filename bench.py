@@ -91,10 +91,12 @@ def _perf_extras(sim):
     from azplugins_tpu.ops import pallas_pair as PP
 
     cap = sim._grid_spec.cap if sim._grid_spec is not None else None
+    tuned = sim._grid_spec.subtile if sim._grid_spec is not None else None
     return {
         "cap": cap,
         "subtile_h": (
-            PP.subtile_h(cap) if cap and PP.pallas_mode() == "compiled" else None
+            (tuned or PP.subtile_h(cap))
+            if cap and PP.pallas_mode() == "compiled" else None
         ),
         "runner_builds": getattr(sim, "_runner_builds", 0),
         # violation replays re-run a whole chunk: a nonzero count during

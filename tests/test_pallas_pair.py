@@ -640,3 +640,52 @@ def test_pallas_subtile_24(monkeypatch):
         np.asarray(got.force), np.asarray(ref.force),
         atol=2e-5 * scale, rtol=2e-5,
     )
+
+
+def test_choose_subtile_h_occupancy_model():
+    """The tune-time H choice follows the occupancy block structure.
+
+    Exact-work model (ops/dense.py choose_subtile_h, chip-calibrated —
+    BENCH.md round 5 "Occupancy-model subtile choice"): a dense
+    homogeneous grid has no skippable subtiles, so per-i-group fixed
+    costs favor the largest pad-free H; a dilute grid needs the finest
+    skip quantum.
+    """
+    # dense homogeneous: occ 37-45 everywhere at cap 48 (the 64k
+    # headline regime) -> H=24 (W flat across H, fewest i-group entries)
+    spec48 = D.GridSpec(dims=(12, 12, 12), cap=48, r_cut=1.0, buffer=0.4)
+    rng = np.random.default_rng(1)
+    occ = rng.integers(37, 46, size=12**3)
+    assert D.choose_subtile_h(occ, spec48) == 24
+
+    # dilute: occ <= 8 at cap 8 (patchy regime) -> H=8 (every taller
+    # subtile evaluates empty rows in every block)
+    spec8 = D.GridSpec(dims=(23, 23, 23), cap=8, r_cut=1.0, buffer=0.4)
+    occ = rng.integers(0, 9, size=23**3)
+    assert D.choose_subtile_h(occ, spec8) == 8
+
+
+def test_tune_installs_subtile_choice(lattice_snapshot_factory):
+    """tune_cell_capacity stores the model H in GridSpec.subtile and the
+    simulation keeps producing identical physics afterwards."""
+    snap = lattice_snapshot_factory(n=6, a=1.1)
+    sim = az.Simulation(seed=3)
+    sim.create_state_from_snapshot(snap)
+    lj = az.pair.PerturbedLennardJones(
+        nlist=az.md.nlist.Cell(buffer=0.4), default_r_cut=2.5
+    )
+    lj.params[("A", "A")] = dict(
+        epsilon=1.0, sigma=1.0, attraction_scale_factor=1.0
+    )
+    sim.operations.integrator = az.md.Integrator(
+        dt=0.005,
+        methods=[az.md.methods.Langevin(kT=1.0, default_gamma=0.5)],
+        forces=[lj],
+    )
+    sim.state.thermalize_particle_momenta(kT=1.0)
+    sim.run(20)
+    sim.tune_cell_capacity()
+    assert sim._grid_spec.subtile in (8, 16, 24)
+    sim.run(20)  # runs cleanly with the tuned subtile
+    pos = np.asarray(sim.state.get_snapshot().particles.position)
+    assert np.isfinite(pos).all()
